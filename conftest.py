@@ -1,0 +1,25 @@
+# Root conftest: force tests onto a virtual 8-device CPU mesh so multi-chip
+# sharding paths compile/execute without TPU hardware.
+#
+# Note: this environment's sitecustomize registers a remote-TPU ("axon") PJRT
+# backend and calls jax.config.update("jax_platforms", "axon,cpu") at
+# interpreter start, which overrides the JAX_PLATFORMS env var — so we must
+# override the *config* again here, before any backend is initialised.
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Persistent compilation cache: XLA:CPU compiles are slow on this box and the
+# suite re-runs the same static shapes every time.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

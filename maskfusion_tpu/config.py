@@ -1,0 +1,137 @@
+"""Runtime configuration.
+
+Single dataclass covering the reference's four config layers (SURVEY.md §5.6):
+CLI flags (GUI/MainController.cpp:34-97), the Pangolin GUI Vars synced every
+loop (GUI/Tools/GUI.h:172-227, MainController.cpp:527-571), the toml Mask R-CNN
+class config (config.toml.in), and the compile-time CMake capacity options
+(Core/CMakeLists.txt:25-33).  Values here are the reference defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+
+@dataclasses.dataclass
+class Config:
+    # --- capacities (compile-time in the reference; static shapes here) ---
+    # Reference defaults: 3072^2 = 9_437_184 global, 1024^2 = 1_048_576 object
+    # (Core/CMakeLists.txt:27-28, Model.cpp:101-108). We default smaller and
+    # power-of-two aligned; override for full-capacity runs.
+    global_surfel_capacity: int = 1 << 22      # 4_194_304
+    object_surfel_capacity: int = 1 << 19      # 524_288
+    max_models: int = 256                      # uint8 model ids (MaskFusion.cpp:715-731)
+    max_active_models: int = 8                 # tracked/fused simultaneously (batched axis)
+
+    # --- tracking (RGBDOdometry) ---
+    num_pyr_levels: int = 3                    # RGBDOdometry.h:81
+    gn_iterations: Tuple[int, int, int] = (10, 5, 4)   # RGBDOdometry.cpp:327-329
+    fast_odom: bool = False                    # -fo: {3,0,0}
+    pyramid: bool = True
+    use_so3: bool = True                       # -nso disables
+    so3_iterations: int = 10
+    icp_weight: float = 10.0                   # -i (CLI default 10; GUI shows 20)
+    rgb_only: bool = False
+    frame_to_frame_rgb: bool = False           # -ftf
+    dist_threshold: float = 0.10               # m, RGBDOdometry.h:35
+    angle_threshold_sine: float = 0.34202      # sin(20deg), RGBDOdometry.h:36
+    max_depth_delta_rgb: float = 0.07          # RGBDOdometry.cpp:33
+    max_depth_rgb: float = 6.0                 # RGBDOdometry.cpp:34
+    sobel_scale: float = 1.0 / 8.0             # 1/2^sobelSize, RGBDOdometry.cpp:31-32
+    min_grad_magnitudes: Tuple[float, float, float] = (5.0, 3.0, 1.0)  # .cpp:102-105
+    translation_jump_limit: float = 0.3        # RGBDOdometry.cpp:478
+    mask_rgb_residual: bool = True             # reduce.cu:836 gate
+    mask_icp_residual: bool = False            # reduce.cu:316 (compile-gated in ref)
+
+    # --- depth preprocessing ---
+    depth_cutoff: float = 5.0                  # -d (GUI default 4, CLI doc 5)
+    bilateral_sigma_space: float = 4.5         # depth_bilateral_metric.frag constants
+    bilateral_sigma_color: float = 0.03
+    bilateral_radius: int = 6
+    min_depth: float = 0.0
+
+    # --- fusion / mapping ---
+    conf_threshold_global: float = 10.0        # -confG
+    conf_threshold_object: float = 0.01        # -confO
+    time_delta: int = 200                      # -t; INT_MAX/2 in open-loop mode
+    open_loop: bool = True                     # -o (global loop closure stubbed in ref)
+    outlier_coefficient: float = 3.0           # -or
+    weight_multiplier: float = 1.0             # fusion weight scale
+    velocity_fusion_weight: bool = True        # Model::computeFusionWeight
+    fuse_subsample_checkerboard: bool = True   # data.vert:114 time-parity subsample
+    data_assoc_window: int = 2                 # +-pixels searched in the index map
+    surfel_merge_z_thresh: float = 0.05        # data.vert:141 |zdiff*lambda| gate
+    unstable_time_limit: int = 20              # copy_unstable.vert:134
+    icl_nuim: bool = False                     # -icl: flip normals
+
+    # --- model lifecycle (MaskFusion.cpp) ---
+    static_mode: bool = False                  # -static
+    model_spawn_offset: int = 22               # GUI.h:347 (frames between spawns)
+    model_deactivate_jump: float = 0.2         # translation jump -> deactivate (:267-272)
+    keep_all_models: bool = False              # -keep
+    min_surfels_keep: int = 4000               # smart-delete (:699-713)
+    min_conf_keep: float = 0.3
+    preallocated_models: int = 0               # -a
+
+    # --- segmentation ---
+    seg_method: str = "maskfusion"             # -method: maskfusion|cofusion|precomputed
+    seg_min_new_rel: float = 0.015             # -segMinNew (GUI.h:345)
+    seg_max_new_rel: float = 0.4               # -segMaxNew
+    seg_threshold: float = 0.8                 # edge threshold (MfSegmentation)
+    seg_weight_distance: float = 50.0          # wD
+    seg_weight_concavity: float = 0.1          # wC
+    seg_morph_iterations: int = 3
+    seg_morph_radius: int = 1
+    seg_overlap_component_mask: float = 0.65   # MfSegmentation.cpp:309-344
+    seg_overlap_leftover: float = 0.6          # :501-522
+    seg_edge_reassign_iters: int = 5           # :243-291
+    person_class_id: int = 255
+    frame_queue_size: int = 30                 # -frameQ
+    mask_cutoff_frame: Optional[int] = None    # -nm
+    trackable_classes: Optional[List[int]] = None  # config.toml trackable_classes
+    score_threshold: float = 0.55              # Mask R-CNN score threshold
+    filter_classes: Optional[List[int]] = None
+
+    # --- relocalisation / ferns ---
+    relocalisation: bool = False               # -rl
+    fern_threshold: float = 0.3095             # -ft
+    local_loop_residual_thresh: float = 5e-05  # -ie
+    local_loop_inlier_thresh: float = 35000.0  # -ic
+    covariance_thresh: float = 1e-05           # -cv
+    photometric_thresh: float = 115.0          # -pt
+    num_ferns: int = 500
+    fern_pyramid_level: int = 3                # 1/8 scale frames
+
+    # --- run control / io ---
+    run_immediately: bool = True               # headless default; GUI starts paused
+    quit_on_finish: bool = True                # -q
+    start_frame: int = 0                       # -s
+    end_frame: Optional[int] = None            # -e
+    flip_colors: bool = False                  # -f
+    rewind_loop: bool = False                  # -r
+    frame_skip: bool = False                   # -fs real-time governor
+    target_fps: float = 30.0                   # frameskip threshold (MainController:487)
+    export_dir: Optional[str] = None           # -exportdir
+    export_poses: bool = False                 # -ep
+    export_models: bool = False                # -em
+    export_segmentation: bool = False          # -es
+    export_labels: bool = False                # -el
+    export_normals: bool = False               # -en
+    export_viewport: bool = False              # -ev
+
+    # --- numerics / execution ---
+    compute_dtype: str = "float32"
+    use_pallas: str = "auto"                   # "auto" | "never" | "always"
+
+    def iterations(self) -> Tuple[int, int, int]:
+        if self.fast_odom:
+            return (3, 0, 0)
+        if not self.pyramid:
+            return (self.gn_iterations[0], 0, 0)
+        return self.gn_iterations
+
+    def effective_time_delta(self) -> int:
+        # Open-loop mode widens the surfel active window to "forever"
+        # (MainController.cpp:399 sets std::numeric_limits<int>::max()/2).
+        return (1 << 30) if self.open_loop else self.time_delta

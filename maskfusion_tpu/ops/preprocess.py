@@ -1,0 +1,335 @@
+"""Depth/RGB preprocessing ops (pure-XLA reference implementations).
+
+TPU-native re-design of the reference's preprocessing kernels:
+  - bilateral depth filter        (ref: Core/Shaders/depth_bilateral_metric.frag:31-76)
+  - NaN-aware Gaussian pyramids   (ref: Core/Cuda/cudafuncs.cu:333-364, 534-564)
+  - vertex / normal maps          (ref: cudafuncs.cu:109-205)
+  - map transform / 2x resize     (ref: cudafuncs.cu:207-269, 366-445)
+  - intensity + derivative images (ref: cudafuncs.cu:626-715)
+  - point-cloud projection        (ref: cudafuncs.cu:718-751)
+
+Conventions: images are (H, W[, C]) arrays; vertex/normal maps are (H, W, 3)
+float32 with NaN marking invalid entries (matching the CUDA qnan convention).
+All functions are jit-safe with static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from maskfusion_tpu.camera import CameraIntrinsics
+
+_NAN = jnp.nan
+
+
+def _shift(img: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
+    """Return img sampled at (y+dy, x+dx) with constant fill outside. Static
+    offsets -> pure slices, fused by XLA."""
+    H, W = img.shape[:2]
+    pad_width = [(max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx))]
+    pad_width += [(0, 0)] * (img.ndim - 2)
+    p = jnp.pad(img, pad_width, constant_values=fill)
+    return p[max(0, dy):max(0, dy) + H, max(0, dx):max(0, dx) + W]
+
+
+def _shift_edge(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift with edge-replicate padding."""
+    H, W = img.shape[:2]
+    pad_width = [(max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx))]
+    pad_width += [(0, 0)] * (img.ndim - 2)
+    p = jnp.pad(img, pad_width, mode="edge")
+    return p[max(0, dy):max(0, dy) + H, max(0, dx):max(0, dx) + W]
+
+
+# ---------------------------------------------------------------------------
+# Bilateral depth filter (main tracking-depth filter)
+# ---------------------------------------------------------------------------
+
+def bilateral_filter_depth(
+    depth: jnp.ndarray,
+    radius: int = 6,
+    sigma_space2_inv_half: float = 0.024691358,
+    sigma_color2_inv_half: float = 555.556,
+    min_valid_depth: float = 0.03,
+) -> jnp.ndarray:
+    """Spatial+range bilateral filter over metric depth.
+
+    Mirrors depth_bilateral_metric.frag:31-76: pixels with depth <= 0.03 m
+    output 0; the window is (2R+1)^2 with Gaussian space and range weights.
+    Zero-depth neighbours contribute with their (large) range penalty exactly
+    as in the reference.
+    """
+    depth = depth.astype(jnp.float32)
+    offs = [(dy, dx) for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)]
+    offs_arr = jnp.array(offs, dtype=jnp.int32)
+
+    padded = jnp.pad(depth, radius, constant_values=jnp.inf)
+
+    def body(carry, off):
+        sum1, sum2 = carry
+        dy, dx = off[0], off[1]
+        nb = jax.lax.dynamic_slice(
+            padded, (radius + dy, radius + dx), depth.shape
+        )
+        space2 = (dy * dy + dx * dx).astype(jnp.float32)
+        color2 = (depth - nb) ** 2
+        w = jnp.exp(-(space2 * sigma_space2_inv_half + color2 * sigma_color2_inv_half))
+        w = jnp.where(jnp.isfinite(nb), w, 0.0)
+        nb0 = jnp.where(jnp.isfinite(nb), nb, 0.0)
+        return (sum1 + nb0 * w, sum2 + w), None
+
+    (sum1, sum2), _ = jax.lax.scan(
+        body, (jnp.zeros_like(depth), jnp.zeros_like(depth)), offs_arr
+    )
+    out = sum1 / jnp.maximum(sum2, 1e-20)
+    return jnp.where(depth <= min_valid_depth, 0.0, out)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian pyramid downsampling
+# ---------------------------------------------------------------------------
+
+_BINOMIAL5 = (1.0, 4.0, 6.0, 4.0, 1.0)
+
+
+def pyr_down_gauss_depth(src: jnp.ndarray) -> jnp.ndarray:
+    """Half-resolution 5x5 binomial downsample of float depth, skipping NaN
+    taps and renormalising (ref pyrDownKernelGaussF, cudafuncs.cu:333-364).
+    Zero-depth (invalid) taps are excluded like NaNs so holes do not bleed."""
+    H, W = src.shape
+    h, w = H // 2, W // 2
+    sum_v = jnp.zeros((h, w), jnp.float32)
+    sum_w = jnp.zeros((h, w), jnp.float32)
+    padded = jnp.pad(src.astype(jnp.float32), 2, constant_values=_NAN)
+    for dy in range(-2, 3):
+        wy = _BINOMIAL5[dy + 2]
+        for dx in range(-2, 3):
+            wx = _BINOMIAL5[dx + 2]
+            tap = padded[2 + dy: 2 + dy + H: 2, 2 + dx: 2 + dx + W: 2][:h, :w]
+            valid = jnp.isfinite(tap) & (tap > 0)
+            sum_v = sum_v + jnp.where(valid, tap, 0.0) * (wy * wx)
+            sum_w = sum_w + jnp.where(valid, wy * wx, 0.0)
+    out = sum_v / jnp.maximum(sum_w, 1e-20)
+    return jnp.where(sum_w > 0, out, 0.0)
+
+
+def pyr_down_uchar_gauss(src: jnp.ndarray) -> jnp.ndarray:
+    """Half-resolution 5x5 binomial downsample of a uint8 image, counting only
+    taps > 0 (ref pyrDownKernelIntensityGauss, cudafuncs.cu:534-564 — the >0
+    gate stops incomplete model images from inventing colors)."""
+    H, W = src.shape
+    h, w = H // 2, W // 2
+    srcf = src.astype(jnp.float32)
+    sum_v = jnp.zeros((h, w), jnp.float32)
+    sum_w = jnp.zeros((h, w), jnp.float32)
+    padded = jnp.pad(srcf, 2, constant_values=0.0)
+    for dy in range(-2, 3):
+        wy = _BINOMIAL5[dy + 2]
+        for dx in range(-2, 3):
+            wx = _BINOMIAL5[dx + 2]
+            tap = padded[2 + dy: 2 + dy + H: 2, 2 + dx: 2 + dx + W: 2][:h, :w]
+            valid = tap > 0
+            sum_v = sum_v + jnp.where(valid, tap, 0.0) * (wy * wx)
+            sum_w = sum_w + jnp.where(valid, wy * wx, 0.0)
+    out = sum_v / jnp.maximum(sum_w, 1e-20)
+    return out.astype(src.dtype)
+
+
+def pyr_down_mask_nearest(src: jnp.ndarray) -> jnp.ndarray:
+    """Half-resolution nearest-neighbour downsample for label images.
+
+    The reference reuses pyrDownUcharGauss for mask pyramids
+    (RGBDOdometry.cpp:200), which *averages instance ids* — a defect we do not
+    reproduce; nearest sampling preserves label semantics."""
+    return src[::2, ::2]
+
+
+# ---------------------------------------------------------------------------
+# Vertex / normal maps
+# ---------------------------------------------------------------------------
+
+def create_vmap(
+    depth: jnp.ndarray, intr: CameraIntrinsics, depth_cutoff: float
+) -> jnp.ndarray:
+    """Back-project depth to a camera-frame vertex map (H, W, 3).
+
+    Matches computeVmapKernel (cudafuncs.cu:109-134): invalid pixels get
+    NaN x/y and z = 0."""
+    H, W = depth.shape
+    u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    z = depth.astype(jnp.float32)
+    valid = (z > 0.0) & (z < depth_cutoff)
+    x = z * (u - intr.cx) / intr.fx
+    y = z * (v - intr.cy) / intr.fy
+    vx = jnp.where(valid, x, _NAN)
+    vy = jnp.where(valid, y, _NAN)
+    vz = jnp.where(valid, z, 0.0)
+    return jnp.stack([vx, vy, vz], axis=-1)
+
+
+def create_nmap(vmap: jnp.ndarray) -> jnp.ndarray:
+    """Cross-product normal map from a vertex map (H, W, 3) -> (H, W, 3).
+
+    Matches computeNmapKernel (cudafuncs.cu:152-189): n = normalize(
+    (v[y,x+1]-v) x (v[y+1,x]-v)), NaN on the last row/col or missing data."""
+    H, W = vmap.shape[:2]
+    v00 = vmap
+    v01 = _shift(vmap, 0, 1, _NAN)   # (y, x+1)
+    v10 = _shift(vmap, 1, 0, _NAN)   # (y+1, x)
+    valid = (
+        jnp.isfinite(v00[..., 0]) & jnp.isfinite(v01[..., 0]) & jnp.isfinite(v10[..., 0])
+    )
+    c = jnp.cross(v01 - v00, v10 - v00)
+    norm = jnp.linalg.norm(c, axis=-1, keepdims=True)
+    n = c / jnp.maximum(norm, 1e-20)
+    return jnp.where(valid[..., None], n, _NAN)
+
+
+def transform_maps(
+    vmap: jnp.ndarray, nmap: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SE(3)-transform vertex map, rotate normal map (ref tranformMapsKernel,
+    cudafuncs.cu:207-248). NaN entries stay NaN."""
+    v_valid = jnp.isfinite(vmap[..., 0])
+    n_valid = jnp.isfinite(nmap[..., 0])
+    # einsum at HIGHEST precision: tiny contraction, rounding matters for ICP
+    v_out = jnp.einsum("...i,ji->...j", vmap, R, precision="highest") + t
+    n_out = jnp.einsum("...i,ji->...j", nmap, R, precision="highest")
+    v_out = jnp.where(v_valid[..., None], v_out, _NAN)
+    n_out = jnp.where(n_valid[..., None], n_out, _NAN)
+    return v_out, n_out
+
+
+def _resize_half(m: jnp.ndarray, normalize: bool) -> jnp.ndarray:
+    """2x downsample of a (H, W, 3) map by 2x2 averaging; NaN if any of the
+    four taps is NaN (ref resizeMapKernel, cudafuncs.cu:366-417)."""
+    H, W = m.shape[:2]
+    h, w = H // 2, W // 2
+    x00 = m[0:2 * h:2, 0:2 * w:2]
+    x01 = m[0:2 * h:2, 1:2 * w:2]
+    x10 = m[1:2 * h:2, 0:2 * w:2]
+    x11 = m[1:2 * h:2, 1:2 * w:2]
+    avg = (x00 + x01 + x10 + x11) * 0.25
+    if normalize:
+        avg = avg / jnp.maximum(jnp.linalg.norm(avg, axis=-1, keepdims=True), 1e-20)
+    valid = (
+        jnp.isfinite(x00[..., 0]) & jnp.isfinite(x01[..., 0])
+        & jnp.isfinite(x10[..., 0]) & jnp.isfinite(x11[..., 0])
+    )
+    return jnp.where(valid[..., None], avg, _NAN)
+
+
+def resize_vmap(m: jnp.ndarray) -> jnp.ndarray:
+    return _resize_half(m, normalize=False)
+
+
+def resize_nmap(m: jnp.ndarray) -> jnp.ndarray:
+    return _resize_half(m, normalize=True)
+
+
+def vertices_to_depth(vmap: jnp.ndarray, cutoff: float) -> jnp.ndarray:
+    """Extract the z plane of a vertex map as a depth image with NaN outside
+    (0, cutoff] (ref verticesToDepthKernel, cudafuncs.cu:602-613)."""
+    z = vmap[..., 2]
+    return jnp.where((z > 0) & (z <= cutoff) & jnp.isfinite(z), z, _NAN)
+
+
+# ---------------------------------------------------------------------------
+# Intensity + gradients
+# ---------------------------------------------------------------------------
+
+def rgb_to_intensity(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 3) uint8 RGB -> (H, W) uint8 grayscale.
+
+    The reference's bgr2IntensityKernel (cudafuncs.cu:626-639) computes
+    0.114*c0 + 0.299*c1 + 0.587*c2 on BGR-ordered frames, i.e. luminance
+    0.587R + 0.299G + 0.114B; we apply the same weights to RGB input."""
+    f = rgb.astype(jnp.float32)
+    val = f[..., 0] * 0.587 + f[..., 1] * 0.299 + f[..., 2] * 0.114
+    return val.astype(jnp.uint8)
+
+
+_GSOBEL_X = (
+    (0.52201, 0.00000, -0.52201),
+    (0.79451, -0.00000, -0.79451),
+    (0.52201, 0.00000, -0.52201),
+)
+_GSOBEL_Y = (
+    (0.52201, 0.79451, 0.52201),
+    (0.00000, 0.00000, 0.00000),
+    (-0.52201, -0.79451, -0.52201),
+)
+
+
+def compute_derivative_images(
+    intensity: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Smoothed image gradients dI/dx, dI/dy as float32.
+
+    Matches applyKernel (cudafuncs.cu:658-683) in the interior; the border
+    uses edge replication instead of the reference's misaligned partial
+    windows.  The reference truncates to int16; we keep float (results feed
+    float math scaled by sobelScale anyway)."""
+    src = intensity.astype(jnp.float32)
+    dx = jnp.zeros_like(src)
+    dy = jnp.zeros_like(src)
+    # kernel is indexed back-to-front in the reference (kernelIndex = 8 ... 0)
+    for j in (-1, 0, 1):
+        for i in (-1, 0, 1):
+            tap = _shift_edge(src, j, i)
+            kx = _GSOBEL_X[1 - j][1 - i]
+            ky = _GSOBEL_Y[1 - j][1 - i]
+            dx = dx + tap * kx
+            dy = dy + tap * ky
+    # int16 truncation like the reference's short stores
+    return jnp.trunc(dx), jnp.trunc(dy)
+
+
+def project_to_pointcloud(
+    depth: jnp.ndarray, intr: CameraIntrinsics
+) -> jnp.ndarray:
+    """Depth -> (H, W, 3) camera-frame points, no validity gating
+    (ref projectPointsKernel, cudafuncs.cu:718-736)."""
+    H, W = depth.shape
+    u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    z = depth.astype(jnp.float32)
+    x = (u - intr.cx) * z / intr.fx
+    y = (v - intr.cy) * z / intr.fy
+    return jnp.stack([x, y, z], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Frame pyramid bundle
+# ---------------------------------------------------------------------------
+
+def build_frame_pyramids(
+    filtered_depth: jnp.ndarray,
+    intensity: jnp.ndarray,
+    mask: jnp.ndarray,
+    intr: CameraIntrinsics,
+    depth_cutoff: float,
+    num_levels: int = 3,
+):
+    """Per-frame pyramid stack shared by all models (ref
+    Model::generateCUDATextures, Model.cpp:350-389): depth, intensity, mask,
+    vmap, nmap per level.  Returns tuple of per-level dicts."""
+    levels = []
+    d, g, m = filtered_depth, intensity, mask
+    for i in range(num_levels):
+        if i > 0:
+            d = pyr_down_gauss_depth(d)
+            g = pyr_down_uchar_gauss(g)
+            m = pyr_down_mask_nearest(m)
+        vmap = create_vmap(d, intr.level(i), depth_cutoff)
+        nmap = create_nmap(vmap)
+        levels.append(
+            dict(depth=d, intensity=g, mask=m, vmap=vmap, nmap=nmap)
+        )
+    return tuple(levels)
