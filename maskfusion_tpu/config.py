@@ -38,7 +38,14 @@ class Config:
     angle_threshold_sine: float = 0.34202      # sin(20deg), RGBDOdometry.h:36
     max_depth_delta_rgb: float = 0.07          # RGBDOdometry.cpp:33
     max_depth_rgb: float = 6.0                 # RGBDOdometry.cpp:34
-    sobel_scale: float = 1.0 / 8.0             # 1/2^sobelSize, RGBDOdometry.cpp:31-32
+    # Gradient descale for the derivative images.  The reference uses
+    # 1/2^sobelSize = 1/8 (RGBDOdometry.cpp:31-32), which normalises the
+    # *standard* Sobel kernel — but its actual gsobel kernel
+    # (cudafuncs.cu:691-697) has weight sum 1.83853 per side, so the
+    # photometric Jacobian ends up 0.46x true and every GN step overshoots
+    # ~2.17x (masked in the reference by the ICP blend).  We normalise the
+    # kernel exactly: 1 / (2 * (2*0.52201 + 0.79451)).
+    sobel_scale: float = 1.0 / (2.0 * (2.0 * 0.52201 + 0.79451))
     min_grad_magnitudes: Tuple[float, float, float] = (5.0, 3.0, 1.0)  # .cpp:102-105
     translation_jump_limit: float = 0.3        # RGBDOdometry.cpp:478
     mask_rgb_residual: bool = True             # reduce.cu:836 gate

@@ -1,0 +1,407 @@
+"""Joint projective-ICP + photometric RGB-D odometry.
+
+TPU-native re-design of the reference RGBDOdometry
+(Core/Utils/RGBDOdometry.{h,cpp}): the whole coarse-to-fine Gauss-Newton
+optimisation — SO(3) photometric pre-alignment, then {10,5,4} ICP+RGB
+iterations over a 3-level pyramid with the 6x6 solve inlined — runs as ONE
+jitted function with `lax.while_loop`/`lax.fori_loop`, so a frame costs a
+single dispatch instead of the reference's ~19 device->host JtJ downloads
+per model per frame (reduce.cu:505-523).
+
+Pose convention: (R, t) is camera-to-world, exactly as the reference's
+(rot, trans) in getIncrementalTransformation (RGBDOdometry.cpp:227-497).
+The returned `delta` is the prev->curr increment in the previous camera
+frame (the reference's `resultRt`).
+
+Multi-model use: this function is pure, so the engine `jax.vmap`s it over
+the model axis — all object models and the background track in one batched
+dispatch (the reference loops models sequentially, MaskFusion.cpp:246-278).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maskfusion_tpu import se3
+from maskfusion_tpu.camera import CameraIntrinsics
+from maskfusion_tpu.ops import preprocess as pp
+from maskfusion_tpu.ops import reduce as red
+
+
+class FramePyramids(NamedTuple):
+    """The 'next' (current frame) side of tracking."""
+    vmaps: Tuple[jnp.ndarray, ...]       # camera-frame vertex maps per level
+    nmaps: Tuple[jnp.ndarray, ...]
+    depths: Tuple[jnp.ndarray, ...]      # float32 depth, NaN invalid
+    intensities: Tuple[jnp.ndarray, ...]  # uint8
+    masks: Tuple[jnp.ndarray, ...]       # uint8 instance labels
+
+
+class ModelPyramids(NamedTuple):
+    """The 'last/prev' (model prediction) side of tracking."""
+    vmaps_g: Tuple[jnp.ndarray, ...]     # world-frame predicted vertex maps
+    nmaps_g: Tuple[jnp.ndarray, ...]
+    depths: Tuple[jnp.ndarray, ...]      # NaN-invalid predicted depth
+    intensities: Tuple[jnp.ndarray, ...]
+
+
+class OdometryResult(NamedTuple):
+    t: jnp.ndarray            # (3,) new camera translation (cam->world)
+    R: jnp.ndarray            # (3,3) new camera rotation
+    delta: jnp.ndarray        # (4,4) prev->curr increment (prev camera frame)
+    A: jnp.ndarray            # (6,6) final blended GN system (for covariance)
+    b: jnp.ndarray            # (6,)
+    icp_error: jnp.ndarray    # sqrt(sum r^2)/count
+    icp_count: jnp.ndarray
+    rgb_error: jnp.ndarray
+    rgb_count: jnp.ndarray
+    so3_error: jnp.ndarray
+    so3_count: jnp.ndarray
+
+
+def build_frame_pyramids_for_odometry(
+    levels,
+    raw_rgb: jnp.ndarray,
+    max_depth_rgb: float = 6.0,
+) -> FramePyramids:
+    """Assemble the 'next' side from preprocess.build_frame_pyramids output.
+
+    Depth for the photometric term comes from the vertex maps' z plane with
+    the 6 m RGB cutoff and NaN holes (ref verticesToDepth + pyrDownGaussF,
+    RGBDOdometry.cpp:187-204); intensity is recomputed from the raw frame.
+    """
+    depths = []
+    intens = []
+    d0 = pp.vertices_to_depth(levels[0]["vmap"], max_depth_rgb)
+    g0 = pp.rgb_to_intensity(raw_rgb)
+    for i in range(len(levels)):
+        if i > 0:
+            d_prev = jnp.where(jnp.isfinite(depths[i - 1]), depths[i - 1], 0.0)
+            d = pp.pyr_down_gauss_depth(d_prev)
+            d = jnp.where(d > 0, d, jnp.nan)
+            g = pp.pyr_down_uchar_gauss(intens[i - 1])
+        else:
+            d, g = d0, g0
+        depths.append(d)
+        intens.append(g)
+    return FramePyramids(
+        vmaps=tuple(l["vmap"] for l in levels),
+        nmaps=tuple(l["nmap"] for l in levels),
+        depths=tuple(depths),
+        intensities=tuple(intens),
+        masks=tuple(l["mask"] for l in levels),
+    )
+
+
+def build_model_pyramids(
+    pred_vmap: jnp.ndarray,
+    pred_nmap: jnp.ndarray,
+    pred_rgb: jnp.ndarray,
+    model_pose: jnp.ndarray,
+    num_levels: int = 3,
+    max_depth_rgb: float = 6.0,
+) -> ModelPyramids:
+    """Assemble the 'prev' side from a model's predicted view.
+
+    Mirrors initICPModel (RGBDOdometry.cpp:153-185: build pyramid, then
+    transform every level into the world frame with the model pose) and
+    initRGBModel (:206-209)."""
+    R = model_pose[:3, :3]
+    t = model_pose[:3, 3]
+    vmaps, nmaps, depths, intens = [], [], [], []
+    v, n = pred_vmap, pred_nmap
+    d = pp.vertices_to_depth(pred_vmap, max_depth_rgb)
+    g = pp.rgb_to_intensity(pred_rgb)
+    for i in range(num_levels):
+        if i > 0:
+            v = pp.resize_vmap(vmaps_cam[-1])
+            n = pp.resize_nmap(nmaps_cam[-1])
+            d_prev = jnp.where(jnp.isfinite(depths[i - 1]), depths[i - 1], 0.0)
+            d = pp.pyr_down_gauss_depth(d_prev)
+            d = jnp.where(d > 0, d, jnp.nan)
+            g = pp.pyr_down_uchar_gauss(intens[i - 1])
+        if i == 0:
+            vmaps_cam, nmaps_cam = [v], [n]
+        else:
+            vmaps_cam.append(v)
+            nmaps_cam.append(n)
+        vg, ng = pp.transform_maps(v, n, R, t)
+        vmaps.append(vg)
+        nmaps.append(ng)
+        depths.append(d)
+        intens.append(g)
+    return ModelPyramids(
+        vmaps_g=tuple(vmaps), nmaps_g=tuple(nmaps),
+        depths=tuple(depths), intensities=tuple(intens),
+    )
+
+
+def _k_matrices(intr: CameraIntrinsics, level: int):
+    il = intr.level(level)
+    K = np.array(
+        [[il.fx, 0, il.cx], [0, il.fy, il.cy], [0, 0, 1]], dtype=np.float32
+    )
+    return K, np.linalg.inv(K).astype(np.float32)
+
+
+def _rigid_inverse(T: jnp.ndarray) -> jnp.ndarray:
+    R = T[:3, :3]
+    t = T[:3, 3]
+    Ti = jnp.eye(4, dtype=T.dtype)
+    Ti = Ti.at[:3, :3].set(R.T)
+    Ti = Ti.at[:3, 3].set(-R.T @ t)
+    return Ti
+
+
+def get_incremental_transformation(
+    t_prev: jnp.ndarray,
+    R_prev: jnp.ndarray,
+    frame: FramePyramids,
+    model: ModelPyramids,
+    so3_last_intensities: Optional[Tuple[jnp.ndarray, ...]],
+    intr: CameraIntrinsics,
+    *,
+    rgb_only: bool = False,
+    icp_weight: float = 10.0,
+    pyramid: bool = True,
+    fast_odom: bool = False,
+    use_so3: bool = True,
+    mask_id: Optional[jnp.ndarray] = None,
+    use_mask_rgb: bool = True,
+    use_mask_icp: bool = False,
+    dist_thresh: float = 0.10,
+    angle_thresh_sine: float = 0.34202,
+    max_depth_delta_rgb: float = 0.07,
+    # exact gsobel-kernel normalisation; see Config.sobel_scale for why this
+    # differs from the reference's 1/8
+    sobel_scale: float = 1.0 / (2.0 * (2.0 * 0.52201 + 0.79451)),
+    min_grad_magnitudes: Tuple[float, ...] = (5.0, 3.0, 1.0),
+    so3_iterations: int = 10,
+    translation_jump_limit: float = 0.3,
+    num_levels: int = 3,
+) -> OdometryResult:
+    """One tracking solve. Structure mirrors RGBDOdometry.cpp:227-497."""
+    use_icp = (not rgb_only) and icp_weight > 0
+    use_rgb = rgb_only or icp_weight < 100
+
+    f32 = jnp.float32
+    t_prev = t_prev.astype(f32)
+    R_prev = R_prev.astype(f32)
+    R_prev_inv = R_prev.T
+
+    # --- derivative images (RGBDOdometry.cpp:245-250) ---
+    didx, didy = [], []
+    for i in range(num_levels):
+        dx, dy = pp.compute_derivative_images(frame.intensities[i])
+        didx.append(dx)
+        didy.append(dy)
+
+    so3_error = jnp.array(0.0, f32)
+    so3_count = jnp.array(0.0, f32)
+    result_R = jnp.eye(3, dtype=f32)
+
+    # --- SO(3) pre-alignment on the coarsest level (.cpp:254-325) ---
+    if use_so3 and so3_last_intensities is not None:
+        lvl = num_levels - 1
+        K, K_inv = _k_matrices(intr, lvl)
+        K = jnp.asarray(K)
+        K_inv = jnp.asarray(K_inv)
+        last_img = so3_last_intensities[lvl]
+        next_img = frame.intensities[lvl]
+
+        big = jnp.array(np.finfo(np.float32).max / 2, f32)
+
+        def so3_cond(state):
+            i, _, _, _, _, _, _, done = state
+            return (i < so3_iterations) & jnp.logical_not(done)
+
+        def so3_body(state):
+            i, resultR, lastErr, lastCnt, lastResultR, err, cnt, done = state
+            homography = K @ resultR @ K_inv
+            krlr = K @ resultR
+            term = red.so3_step(last_img, next_img, homography, K_inv, krlr)
+            cur_err = jnp.sqrt(term.residual_sq) / jnp.maximum(term.count, 1.0)
+            cur_cnt = term.count
+            # divergence check (.cpp:300-307): error grew -> revert + stop
+            diverged = cur_err > lastErr + 0.001
+            converged = (cur_err < lastErr) & (jnp.abs(lastErr - cur_cnt) < 0.001)
+            delta = se3.solve_6x6_ldlt(term.A, term.b)  # 3x3 path: pad below
+            rot_update = se3.rodrigues(delta)
+            new_resultR = rot_update @ resultR
+            keep = diverged | converged
+            return (
+                i + 1,
+                jnp.where(diverged, lastResultR, jnp.where(converged, resultR, new_resultR)),
+                jnp.where(keep, lastErr, cur_err),
+                jnp.where(keep, lastCnt, cur_cnt),
+                jnp.where(keep, lastResultR, resultR),
+                jnp.where(diverged, lastErr, cur_err),
+                jnp.where(diverged, lastCnt, cur_cnt),
+                keep,
+            )
+
+        init = (
+            jnp.array(0, jnp.int32), result_R, big, big, jnp.eye(3, dtype=f32),
+            so3_error, so3_count, jnp.array(False),
+        )
+        (_, result_R, _, _, _, so3_error, so3_count, _) = jax.lax.while_loop(
+            so3_cond, so3_body, init
+        )
+
+    # --- iteration schedule (.cpp:327-329) ---
+    if fast_odom:
+        iters = [3] + [0] * (num_levels - 1)
+    elif pyramid:
+        iters = [10, 5, 4][:num_levels]
+    else:
+        iters = [10] + [0] * (num_levels - 1)
+
+    result_rt = jnp.eye(4, dtype=f32)
+    result_rt = result_rt.at[:3, :3].set(result_R)
+
+    t_curr = t_prev
+    R_curr = R_prev
+    lastA = jnp.zeros((6, 6), f32)
+    lastb = jnp.zeros((6,), f32)
+    icp_error = jnp.array(0.0, f32)
+    icp_count = jnp.array(0.0, f32)
+    rgb_error = jnp.array(0.0, f32)
+    rgb_count = jnp.array(0.0, f32)
+
+    for lvl in range(num_levels - 1, -1, -1):
+        if iters[lvl] == 0:
+            continue
+        K, K_inv = _k_matrices(intr, lvl)
+        Kj = jnp.asarray(K)
+        K_invj = jnp.asarray(K_inv)
+        il = intr.level(lvl)
+        min_scale = (min_grad_magnitudes[lvl] ** 2) / (sobel_scale ** 2)
+
+        cloud = (
+            pp.project_to_pointcloud(
+                jnp.where(jnp.isfinite(model.depths[lvl]), model.depths[lvl], 0.0),
+                il,
+            )
+            if use_rgb
+            else None
+        )
+
+        def body(j, carry, lvl=lvl, Kj=Kj, K_invj=K_invj, il=il,
+                 min_scale=min_scale, cloud=cloud):
+            (result_rt, t_curr, R_curr, last_rgb_error, lastA, lastb,
+             icp_error, icp_count, rgb_error, rgb_count, done) = carry
+
+            Rt = _rigid_inverse(result_rt)
+            Rwarp = Rt[:3, :3]
+            krk_inv = Kj @ Rwarp @ K_invj
+            kt = Kj @ Rt[:3, 3]
+
+            if use_rgb:
+                corres = red.compute_rgb_residual(
+                    didx[lvl], didy[lvl],
+                    model.depths[lvl], frame.depths[lvl],
+                    model.intensities[lvl], frame.intensities[lvl],
+                    krk_inv, kt, min_scale, max_depth_delta_rgb,
+                    next_mask=frame.masks[lvl] if use_mask_rgb else None,
+                    mask_id=mask_id if use_mask_rgb else None,
+                )
+                tmp_error = jnp.sqrt(corres.sigma_sum) / jnp.maximum(corres.count, 1.0)
+                sigma_val = jnp.where(tmp_error == 0, 1.0, corres.count)
+                if rgb_only:
+                    sigma_val = jnp.array(-1.0, f32)
+                    done = done | (tmp_error > last_rgb_error)
+                new_rgb_error = tmp_error
+                new_rgb_count = corres.count
+            else:
+                corres = None
+                new_rgb_error, new_rgb_count = rgb_error, rgb_count
+
+            if use_icp:
+                icp_term = red.icp_step(
+                    R_curr, t_curr,
+                    frame.vmaps[lvl], frame.nmaps[lvl],
+                    R_prev_inv, t_prev, il,
+                    model.vmaps_g[lvl], model.nmaps_g[lvl],
+                    dist_thresh, angle_thresh_sine,
+                    mask=frame.masks[lvl] if use_mask_icp else None,
+                    mask_id=mask_id if use_mask_icp else None,
+                )
+                new_icp_error = jnp.sqrt(icp_term.residual_sq) / jnp.maximum(
+                    icp_term.count, 1.0
+                )
+                new_icp_count = icp_term.count
+            else:
+                new_icp_error, new_icp_count = icp_error, icp_count
+
+            if use_rgb:
+                rgb_term = red.rgb_step(
+                    corres, sigma_val, cloud, il.fx, il.fy,
+                    didx[lvl], didy[lvl], sobel_scale,
+                )
+
+            if use_icp and use_rgb:
+                w = icp_weight
+                A = rgb_term.A + w * w * icp_term.A
+                b = rgb_term.b + w * icp_term.b
+            elif use_icp:
+                A, b = icp_term.A, icp_term.b
+            else:
+                A, b = rgb_term.A, rgb_term.b
+
+            x = se3.solve_6x6_ldlt(A, b)
+            new_result_rt = se3.se3_exp_update(result_rt, x)
+
+            prevT = se3.make_pose(R_prev, t_prev)
+            currentT = prevT @ _rigid_inverse(new_result_rt)
+
+            def keep(old, new):
+                return jnp.where(done, old, new)
+
+            return (
+                keep(result_rt, new_result_rt),
+                keep(t_curr, currentT[:3, 3]),
+                keep(R_curr, currentT[:3, :3]),
+                keep(last_rgb_error, new_rgb_error),
+                keep(lastA, A),
+                keep(lastb, b),
+                keep(icp_error, new_icp_error),
+                keep(icp_count, new_icp_count),
+                keep(rgb_error, new_rgb_error),
+                keep(rgb_count, new_rgb_count),
+                done,
+            )
+
+        carry = (
+            result_rt, t_curr, R_curr,
+            jnp.array(np.finfo(np.float32).max, f32),
+            lastA, lastb, icp_error, icp_count, rgb_error, rgb_count,
+            jnp.array(False),
+        )
+        carry = jax.lax.fori_loop(0, iters[lvl], body, carry)
+        (result_rt, t_curr, R_curr, _, lastA, lastb,
+         icp_error, icp_count, rgb_error, rgb_count, _) = carry
+
+    # translation jump rejection (.cpp:478-482)
+    if use_rgb:
+        jumped = jnp.linalg.norm(t_curr - t_prev) > translation_jump_limit
+        t_curr = jnp.where(jumped, t_prev, t_curr)
+        R_curr = jnp.where(jumped, R_prev, R_curr)
+        result_rt = jnp.where(jumped, jnp.eye(4, dtype=f32), result_rt)
+
+    return OdometryResult(
+        t=t_curr, R=R_curr, delta=result_rt, A=lastA, b=lastb,
+        icp_error=icp_error, icp_count=icp_count,
+        rgb_error=rgb_error, rgb_count=rgb_count,
+        so3_error=so3_error, so3_count=so3_count,
+    )
+
+
+def covariance(A: jnp.ndarray) -> jnp.ndarray:
+    """inv(lastA) — used by the tracking-failure detector
+    (RGBDOdometry.cpp:499, MaskFusion.cpp:377-414)."""
+    return jnp.linalg.inv(A + 1e-12 * jnp.eye(6, dtype=A.dtype))

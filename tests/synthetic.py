@@ -1,0 +1,102 @@
+"""Synthetic RGB-D scene renderer for golden tests.
+
+Generates a dense textured wavy-surface point cloud in world coordinates and
+z-buffer renders it from arbitrary camera poses — the oracle for tracking,
+fusion, and segmentation tests (the reference project has no tests; SURVEY.md
+§4 motivates dataset-free synthetic goldens)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from maskfusion_tpu.camera import CameraIntrinsics
+
+
+DEFAULT_INTR = CameraIntrinsics(fx=130.0, fy=130.0, cx=80.0, cy=60.0)
+W, H = 160, 120
+
+
+def make_scene(n_u=700, n_v=560, seed=0):
+    """Dense textured wavy surface ~2 m in front of the origin."""
+    x = np.linspace(-1.6, 1.6, n_u)
+    y = np.linspace(-1.3, 1.3, n_v)
+    X, Y = np.meshgrid(x, y)
+    Z = 2.0 + 0.25 * np.sin(2.2 * X) + 0.18 * np.cos(3.1 * Y) + 0.05 * np.sin(7 * X * Y)
+    pts = np.stack([X, Y, Z], -1).reshape(-1, 3)
+    # high-contrast texture keyed to world position; the high-frequency terms
+    # give gradients strong enough to pass the reference's minGradMagnitude
+    # gate (5 levels/px at level 0, RGBDOdometry.cpp:102-105)
+    r = 127.5 + 60 * np.sin(4.0 * X) * np.cos(3.0 * Y) + 60 * np.sin(45.0 * X)
+    g = 127.5 + 60 * np.sin(2.5 * X + 1.0) + 60 * np.cos(38.0 * Y)
+    b = 127.5 + 60 * np.cos(3.5 * Y + 0.5) + 60 * np.sin(30.0 * (X + Y))
+    cols = np.stack([r, g, b], -1).reshape(-1, 3).clip(0, 255).astype(np.uint8)
+    return pts.astype(np.float32), cols
+
+
+def make_scene_with_object(offset=np.zeros(3), seed=0):
+    """Wavy background + a textured box 'object' that can be displaced.
+    Returns (points, colors, labels) with label 1 on the object."""
+    pts_bg, cols_bg = make_scene(seed=seed)
+    # box face grid at z ~1.5, 0.4x0.3 m
+    n = 220
+    x = np.linspace(-0.2, 0.2, n)
+    y = np.linspace(-0.15, 0.15, int(n * 0.75))
+    X, Y = np.meshgrid(x, y)
+    Z = 1.5 + 0.03 * np.sin(9 * X) + 0.02 * np.cos(11 * Y)
+    pts_obj = np.stack([X + 0.1, Y - 0.05, Z], -1).reshape(-1, 3).astype(np.float32)
+    pts_obj = pts_obj + offset.astype(np.float32)
+    r = 127.5 + 110 * np.sin(17 * X)
+    g = 127.5 + 110 * np.cos(13 * Y)
+    b = np.full_like(r, 60.0)
+    cols_obj = np.stack([r, g, b], -1).reshape(-1, 3).clip(0, 255).astype(np.uint8)
+    pts = np.concatenate([pts_bg, pts_obj])
+    cols = np.concatenate([cols_bg, cols_obj])
+    labels = np.concatenate(
+        [np.zeros(len(pts_bg), np.uint8), np.ones(len(pts_obj), np.uint8)]
+    )
+    return pts, cols, labels
+
+
+def render(pts_w, cols, pose_c2w, intr=DEFAULT_INTR, w=W, h=H, labels=None):
+    """Z-buffer point render. Returns (rgb uint8 (h,w,3), depth float32 (h,w),
+    [label uint8 (h,w)]) with depth 0 where nothing projects."""
+    T = np.asarray(pose_c2w, np.float64)
+    R = T[:3, :3]
+    t = T[:3, 3]
+    p_cam = (pts_w - t) @ R  # R^T @ (p - t)
+    z = p_cam[:, 2]
+    front = z > 0.05
+    u = np.round(p_cam[:, 0] * intr.fx / z + intr.cx).astype(np.int64)
+    v = np.round(p_cam[:, 1] * intr.fy / z + intr.cy).astype(np.int64)
+    ok = front & (u >= 0) & (u < w) & (v >= 0) & (v < h)
+    lin = v[ok] * w + u[ok]
+    zok = z[ok].astype(np.float32)
+
+    zbuf = np.full(h * w, np.inf, np.float32)
+    np.minimum.at(zbuf, lin, zok)
+    winner = zok <= zbuf[lin] * (1 + 1e-6)
+
+    rgb = np.zeros((h * w, 3), np.uint8)
+    rgb[lin[winner]] = cols[ok][winner]
+    depth = np.where(np.isfinite(zbuf), zbuf, 0.0).astype(np.float32)
+    out = [rgb.reshape(h, w, 3), depth.reshape(h, w)]
+    if labels is not None:
+        lab = np.zeros(h * w, np.uint8)
+        lab[lin[winner]] = labels[ok][winner]
+        out.append(lab.reshape(h, w))
+    return tuple(out)
+
+
+def pose_from(rvec, tvec):
+    """Small-angle helper building a cam->world pose."""
+    from scipy.spatial.transform import Rotation
+
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = Rotation.from_rotvec(rvec).as_matrix().astype(np.float32)
+    T[:3, 3] = np.asarray(tvec, np.float32)
+    return T
+
+
+def rotation_angle_deg(Ra, Rb):
+    ctheta = (np.trace(Ra.T @ Rb) - 1) / 2
+    return np.degrees(np.arccos(np.clip(ctheta, -1, 1)))
