@@ -1,0 +1,236 @@
+"""Surfel fusion: per-pixel data association + weighted map update.
+
+TPU-native replacement for the reference's two-pass transform-feedback
+fusion (Model::fuse, Model.cpp:466-647):
+
+  pass 1 (data.vert:79-194)  — for each eligible input pixel, search the
+      index map around the pixel for the best matching surfel (ray-distance
+      argmin under depth/normal gates); matched pixels emit an update record,
+      unmatched ones a new unstable surfel.
+  pass 2 (update.vert:38-111) — per surfel, blend the update record by
+      confidence-weighted averaging.
+
+Here pass 1 is a dense gather over the index map using the reference's exact
+16-tap half-pixel window, and pass 2 is a scatter-add of weighted pixel
+contributions followed by one vectorised merge.  Where the reference's
+rasterised update keeps an *arbitrary* single pixel per surfel (fragment
+order is unspecified), we average all matched pixels — deterministic and
+strictly more information.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from maskfusion_tpu.camera import CameraIntrinsics
+from maskfusion_tpu.mapping import surfel_map as sm
+from maskfusion_tpu.mapping.surfel_map import SurfelMap
+from maskfusion_tpu.ops.splat import IndexMap
+
+
+def half_pixel_taps(x: jnp.ndarray, y: jnp.ndarray):
+    """The reference's association window: texcoord offsets
+    {-1, -0.5, 0, +0.5} pixels on each axis sampled with nearest (floor)
+    lookup (data.vert:139-161, copy_unstable.vert:87-115).  Returns 16
+    (ty, tx) integer tap pairs, duplicates included — the duplicate taps are
+    what calibrate the reference's count thresholds."""
+    taps = []
+    xs = [jnp.floor(x - 1.0), jnp.floor(x - 0.5), jnp.floor(x), jnp.floor(x + 0.5)]
+    ys = [jnp.floor(y - 1.0), jnp.floor(y - 0.5), jnp.floor(y), jnp.floor(y + 0.5)]
+    for ty in ys:
+        for tx in xs:
+            taps.append((ty.astype(jnp.int32), tx.astype(jnp.int32)))
+    return taps
+
+
+def _tap_gather(arr: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray):
+    H, W = arr.shape[:2]
+    ok = (ty >= 0) & (ty < H) & (tx >= 0) & (tx < W)
+    yc = jnp.clip(ty, 0, H - 1)
+    xc = jnp.clip(tx, 0, W - 1)
+    return arr[yc, xc], ok
+
+
+class FuseResult(NamedTuple):
+    map: SurfelMap
+    matched_pixels: jnp.ndarray   # (H, W) bool — merged into an existing surfel
+    new_pixels: jnp.ndarray       # (H, W) bool — became new unstable surfels
+
+
+def compute_fusion_weight(last_delta: jnp.ndarray, weight_multiplier) -> jnp.ndarray:
+    """Velocity-adaptive fusion weight (Model::computeFusionWeight,
+    Model.cpp:449-464): fast motion down-weights new measurements."""
+    from maskfusion_tpu import se3
+
+    t_norm = jnp.linalg.norm(last_delta[:3, 3])
+    r_norm = jnp.linalg.norm(se3.so3_log(last_delta[:3, :3]))
+    weighting = jnp.minimum(jnp.maximum(t_norm, r_norm), 0.01)
+    return jnp.maximum(1.0 - weighting / 0.01, 0.5) * weight_multiplier
+
+
+def fuse(
+    m: SurfelMap,
+    index_map: IndexMap,
+    vmap_raw: jnp.ndarray,     # (H, W, 3) camera-frame vertices from raw depth
+    vmap_filt: jnp.ndarray,    # filtered — normal/radius source
+    nmap_filt: jnp.ndarray,
+    rgb: jnp.ndarray,          # (H, W, 3) uint8
+    mask: jnp.ndarray,         # (H, W) uint8
+    mask_id,
+    pose: jnp.ndarray,         # (4, 4) model pose (cam->world)
+    intr: CameraIntrinsics,
+    time,
+    weighting,                 # scalar fusion weight (compute_fusion_weight * radial)
+    max_depth,
+    *,
+    checkerboard: bool = True,
+    merge_z_thresh: float = 0.05,
+    radius_merge_factor: float = 1.5,
+) -> FuseResult:
+    """One fusion step.  Returns the updated map (existing surfels merged AND
+    new unstable surfels appended with last_seen = -2 flag, to be finalised
+    by the clean pass exactly like the reference's newUnstableBuffer)."""
+    H, W = vmap_raw.shape[:2]
+    R = pose[:3, :3]
+    t = pose[:3, 3]
+
+    u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+
+    z_raw = vmap_raw[..., 2]
+    valid_v = jnp.isfinite(vmap_raw[..., 0]) & (z_raw > 0) & (z_raw <= max_depth)
+
+    # 4-neighbour depth check (data.vert checkNeighbours:52-71)
+    def nb(dy, dx):
+        pad = jnp.pad(z_raw, 1, constant_values=0.0)
+        return pad[1 + dy:1 + dy + H, 1 + dx:1 + dx + W] > 0
+
+    neighbours_ok = nb(0, -1) & nb(0, 1) & nb(-1, 0) & nb(1, 0)
+
+    eligible = valid_v & neighbours_ok & (mask == mask_id)
+    if checkerboard:
+        tpar = jnp.mod(jnp.asarray(time, jnp.int32), 2)
+        eligible = eligible & (u.astype(jnp.int32) % 2 == tpar) & (
+            v.astype(jnp.int32) % 2 == tpar
+        )
+
+    # pixel ray + lambda (data.vert:131-137)
+    xl = (u - intr.cx) / intr.fx
+    yl = (v - intr.cy) / intr.fy
+    lam = jnp.sqrt(xl * xl + yl * yl + 1.0)
+    ray = jnp.stack([xl, yl, jnp.ones_like(xl)], axis=-1)
+
+    # association search over the 16-tap window
+    best_dist = jnp.full((H, W), 1000.0, jnp.float32)
+    best_slot = jnp.full((H, W), -1, jnp.int32)
+    vnorm_l = nmap_filt
+
+    for ty, tx in half_pixel_taps(u, v):
+        c_idx, in_img = _tap_gather(index_map.index, ty, tx)
+        c_pos, _ = _tap_gather(index_map.pos, ty, tx)
+        c_nr, _ = _tap_gather(index_map.normal, ty, tx)
+        c_rad, _ = _tap_gather(index_map.radius, ty, tx)
+
+        zdiff = c_pos[..., 2] - z_raw
+        z_ok = jnp.abs(zdiff * lam) < merge_z_thresh
+        dist = jnp.linalg.norm(jnp.cross(ray, c_pos), axis=-1)
+        # normal conformance (data.vert:150-153)
+        cosang = jnp.clip(
+            jnp.sum(c_nr * vnorm_l, axis=-1)
+            / jnp.maximum(
+                jnp.linalg.norm(c_nr, axis=-1) * jnp.linalg.norm(vnorm_l, axis=-1),
+                1e-12,
+            ),
+            -1.0, 1.0,
+        )
+        norm_ok = (jnp.abs(c_nr[..., 2]) < 0.75) | (jnp.abs(jnp.arccos(cosang)) < 0.5)
+        ok = in_img & (c_idx >= 0) & z_ok & norm_ok & (dist < best_dist)
+        best_dist = jnp.where(ok, dist, best_dist)
+        best_slot = jnp.where(ok, c_idx, best_slot)
+
+    matched = eligible & (best_slot >= 0)
+    new_pix = eligible & (best_slot < 0)
+
+    # per-pixel measurement attributes (data.vert:88-108)
+    conf_px = sm.pixel_confidence(H, W, intr, 1.0) * weighting
+    rad_px = sm.radius_from_depth(vmap_filt[..., 2], nmap_filt[..., 2], intr)
+    pos_w = jnp.einsum("hwi,ji->hwj", vmap_raw, R, precision="highest") + t
+    norm_w = jnp.einsum("hwi,ji->hwj", nmap_filt, R, precision="highest")
+    col = rgb.astype(jnp.float32)
+
+    # ---- pass 2: scatter-add weighted contributions, then merge ----
+    cap = m.capacity
+    slot_flat = jnp.where(matched, best_slot, cap).reshape(-1)  # cap = drop
+    a = jnp.where(matched, conf_px, 0.0).reshape(-1)
+
+    def acc(vals, width=None):
+        buf = jnp.zeros((cap,) if width is None else (cap, width), jnp.float32)
+        if width is None:
+            return buf.at[slot_flat].add(vals.reshape(-1), mode="drop")
+        return buf.at[slot_flat].add(vals.reshape(-1, width) * a[:, None], mode="drop")
+
+    sum_a = acc(a)
+    sum_pos = acc(pos_w, 3)
+    sum_col = acc(col, 3)
+    sum_norm = acc(norm_w, 3)
+    sum_rad = jnp.zeros((cap,), jnp.float32).at[slot_flat].add(
+        (jnp.where(matched, conf_px * rad_px, 0.0)).reshape(-1), mode="drop"
+    )
+
+    has_update = sum_a > 0
+    inv_a = jnp.where(has_update, 1.0 / jnp.maximum(sum_a, 1e-20), 0.0)
+    new_pos_meas = sum_pos * inv_a[:, None]
+    new_col_meas = sum_col * inv_a[:, None]
+    new_norm_meas = sum_norm * inv_a[:, None]
+    new_rad_meas = sum_rad * inv_a
+
+    c_k = m.conf
+    tot = c_k + sum_a
+    inv_tot = jnp.where(has_update, 1.0 / jnp.maximum(tot, 1e-20), 0.0)
+
+    # radius gate (update.vert:76): only merge geometry if the measured
+    # radius isn't much larger than the model's
+    geom_ok = has_update & (new_rad_meas < radius_merge_factor * m.radius)
+
+    def blend3(old, meas):
+        merged = (old * c_k[:, None] + meas * sum_a[:, None]) * inv_tot[:, None]
+        return jnp.where(geom_ok[:, None], merged, old)
+
+    merged_norm = blend3(
+        m.normal,
+        new_norm_meas,
+    )
+    merged_norm = merged_norm / jnp.maximum(
+        jnp.linalg.norm(merged_norm, axis=-1, keepdims=True), 1e-20
+    )
+    merged_rad = jnp.where(
+        geom_ok, (m.radius * c_k + new_rad_meas * sum_a) * inv_tot, m.radius
+    )
+
+    updated = SurfelMap(
+        pos=blend3(m.pos, new_pos_meas),
+        conf=jnp.where(has_update, tot, m.conf),
+        color=blend3(m.color, new_col_meas),
+        init_time=m.init_time,
+        last_seen=jnp.where(has_update, jnp.asarray(time, jnp.float32), m.last_seen),
+        normal=merged_norm,
+        radius=merged_rad,
+        count=m.count,
+    )
+
+    # ---- new unstable surfels (data.geom route -> newUnstableBuffer) ----
+    updated = sm.compact_into(
+        updated,
+        new_pix.reshape(-1),
+        pos_w.reshape(-1, 3),
+        conf_px.reshape(-1),
+        col.reshape(-1, 3),
+        jnp.full((H * W,), jnp.asarray(time, jnp.float32)),
+        jnp.full((H * W,), -2.0, jnp.float32),   # vColor.w = -2 flag
+        norm_w.reshape(-1, 3),
+        rad_px.reshape(-1),
+    )
+    return FuseResult(map=updated, matched_pixels=matched, new_pixels=new_pix)

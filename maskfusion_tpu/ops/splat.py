@@ -1,0 +1,222 @@
+"""Surfel rendering: index maps and view prediction.
+
+TPU-native replacement for the reference's OpenGL rasterisation passes:
+
+- `render_index_map` replaces the point-render of index_map.vert:38-63 /
+  ModelProjection::predictIndices (ModelProjection.cpp:100-152): a two-pass
+  deterministic scatter (scatter-min depth, then scatter-min surfel id among
+  depth winners) instead of a z-buffered point raster.
+
+- `combined_predict` replaces splat.vert:54-88 + combo_splat.frag:37-65
+  (ModelProjection::combinedPredict, .cpp:187-268).  Instead of rasterising
+  each surfel as a view-aligned disk sprite, each *pixel* gathers the index
+  map in a (2r+1)^2 window and ray-disk intersects the candidate surfels —
+  a dense, conflict-free formulation that maps to the VPU (SURVEY.md §7
+  decision 2).  The per-pixel output (corrected vertex along the pixel ray,
+  surfel normal/color/conf/time, depth) matches the fragment shader's.
+
+- `synthesize_depth` replaces depth_splat.frag.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from maskfusion_tpu.camera import CameraIntrinsics
+from maskfusion_tpu.mapping.surfel_map import SurfelMap
+
+_NAN = jnp.nan
+
+
+class IndexMap(NamedTuple):
+    index: jnp.ndarray      # (H, W) int32 surfel slot, -1 = empty
+    pos: jnp.ndarray        # (H, W, 3) camera-frame surfel position
+    conf: jnp.ndarray       # (H, W)
+    color: jnp.ndarray      # (H, W, 3)
+    init_time: jnp.ndarray  # (H, W)
+    last_seen: jnp.ndarray  # (H, W)
+    normal: jnp.ndarray     # (H, W, 3) camera-frame surfel normal
+    radius: jnp.ndarray     # (H, W)
+    depth: jnp.ndarray      # (H, W) float32, inf = empty
+
+
+def _project(pos_cam: jnp.ndarray, intr: CameraIntrinsics):
+    z = pos_cam[:, 2]
+    safe_z = jnp.where(z != 0, z, 1.0)
+    u = pos_cam[:, 0] * intr.fx / safe_z + intr.cx
+    v = pos_cam[:, 1] * intr.fy / safe_z + intr.cy
+    return u, v, z
+
+
+def render_index_map(
+    m: SurfelMap,
+    pose_inv: jnp.ndarray,
+    intr: CameraIntrinsics,
+    height: int,
+    width: int,
+    time,
+    time_delta,
+    max_depth,
+    conf_threshold=None,
+    max_time=None,
+) -> IndexMap:
+    """Single-pixel surfel render with nearest-depth visibility.
+
+    Gates follow index_map.vert:44-49 (z in (0, maxDepth], active time
+    window); `conf_threshold`/`max_time` add the splat.vert:57 gates used by
+    prediction when requested."""
+    cap = m.capacity
+    R = pose_inv[:3, :3]
+    t = pose_inv[:3, 3]
+    p_cam = m.pos @ R.T + t
+    n_cam = m.normal @ R.T
+
+    u, v, z = _project(p_cam, intr)
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+
+    live = m.slot_mask()
+    active = (time - m.last_seen) <= time_delta
+    ok = (
+        live & active & (z > 0) & (z <= max_depth)
+        & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
+    )
+    if conf_threshold is not None:
+        ok = ok & (m.conf >= conf_threshold)
+    if max_time is not None:
+        ok = ok & (m.last_seen <= max_time)
+
+    lin = jnp.where(ok, vi * width + ui, height * width)  # sentinel slot
+
+    # pass 1: nearest depth per pixel
+    zbuf = jnp.full((height * width + 1,), jnp.inf, jnp.float32)
+    zbuf = zbuf.at[lin].min(jnp.where(ok, z, jnp.inf))
+    # pass 2: among depth winners, lowest slot id wins (deterministic)
+    won = ok & (z <= zbuf[lin])
+    slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+    ibuf = jnp.full((height * width + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    ibuf = ibuf.at[lin].min(jnp.where(won, slot, jnp.iinfo(jnp.int32).max))
+
+    idx = ibuf[: height * width]
+    empty = idx == jnp.iinfo(jnp.int32).max
+    idx = jnp.where(empty, -1, idx)
+    safe = jnp.where(empty, 0, idx)
+
+    def g(arr):
+        out = arr[safe]
+        zero = jnp.zeros((), arr.dtype)
+        if arr.ndim == 1:
+            return jnp.where(empty, zero, out).reshape(height, width)
+        return jnp.where(empty[:, None], zero, out).reshape(height, width, arr.shape[1])
+
+    return IndexMap(
+        index=idx.reshape(height, width),
+        pos=g(p_cam),
+        conf=g(m.conf),
+        color=g(m.color),
+        init_time=g(m.init_time),
+        last_seen=g(m.last_seen),
+        normal=g(n_cam),
+        radius=g(m.radius),
+        depth=jnp.where(empty, jnp.inf, zbuf[: height * width]).reshape(height, width),
+    )
+
+
+class Prediction(NamedTuple):
+    vmap: jnp.ndarray    # (H, W, 3) camera-frame corrected vertices, NaN holes
+    nmap: jnp.ndarray    # (H, W, 3)
+    rgb: jnp.ndarray     # (H, W, 3) float32 0..255
+    conf: jnp.ndarray    # (H, W)
+    time: jnp.ndarray    # (H, W) surfel init_time (combo_splat writes colTime.z)
+    depth: jnp.ndarray   # (H, W) 0 = hole
+
+
+def combined_predict(
+    index_map: IndexMap,
+    intr: CameraIntrinsics,
+    max_depth,
+    window: int = 2,
+) -> Prediction:
+    """Per-pixel gather splatting over the index map.
+
+    For every pixel ray l, each candidate surfel (p, n, rad) in the window
+    contributes the ray-disk intersection z* = (p.n)/(l.n) if the hit lies
+    within rad of p (combo_splat.frag:37-58); the nearest z* wins."""
+    H, W = index_map.index.shape
+    u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    # combo_splat uses gl_FragCoord (pixel centers); our index map projects
+    # to rounded pixel positions, so the integer pixel grid is the ray grid.
+    lx = (u - intr.cx) / intr.fx
+    ly = (v - intr.cy) / intr.fy
+    lnorm = jnp.sqrt(lx * lx + ly * ly + 1.0)
+    l = jnp.stack([lx / lnorm, ly / lnorm, 1.0 / lnorm], axis=-1)
+
+    best_z = jnp.full((H, W), jnp.inf, jnp.float32)
+    best = {
+        "pos": jnp.zeros((H, W, 3), jnp.float32),
+        "normal": jnp.zeros((H, W, 3), jnp.float32),
+        "color": jnp.zeros((H, W, 3), jnp.float32),
+        "conf": jnp.zeros((H, W), jnp.float32),
+        "time": jnp.zeros((H, W), jnp.float32),
+    }
+
+    def shift2(arr, dy, dx, fill):
+        pad = [(max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx))]
+        pad += [(0, 0)] * (arr.ndim - 2)
+        p = jnp.pad(arr, pad, constant_values=fill)
+        return p[max(0, dy):max(0, dy) + H, max(0, dx):max(0, dx) + W]
+
+    for dy in range(-window, window + 1):
+        for dx in range(-window, window + 1):
+            cand_idx = shift2(index_map.index, dy, dx, -1)
+            cp = shift2(index_map.pos, dy, dx, 0.0)
+            cn = shift2(index_map.normal, dy, dx, 0.0)
+            crad = shift2(index_map.radius, dy, dx, 0.0)
+
+            denom = jnp.sum(l * cn, axis=-1)
+            z_star = jnp.sum(cp * cn, axis=-1) / jnp.where(
+                jnp.abs(denom) > 1e-12, denom, 1e-12
+            )
+            hit = l * z_star[..., None]
+            z_cam = hit[..., 2]
+            miss2 = jnp.sum((hit - cp) ** 2, axis=-1)
+            ok = (
+                (cand_idx >= 0)
+                & (miss2 <= crad * crad)
+                & (z_cam > 0)
+                & (z_cam <= max_depth)
+                & (z_cam < best_z)
+            )
+            best_z = jnp.where(ok, z_cam, best_z)
+            sel3 = ok[..., None]
+            best["pos"] = jnp.where(sel3, hit, best["pos"])
+            best["normal"] = jnp.where(sel3, cn, best["normal"])
+            best["color"] = jnp.where(
+                sel3, shift2(index_map.color, dy, dx, 0.0), best["color"]
+            )
+            best["conf"] = jnp.where(ok, shift2(index_map.conf, dy, dx, 0.0), best["conf"])
+            best["time"] = jnp.where(
+                ok, shift2(index_map.init_time, dy, dx, 0.0), best["time"]
+            )
+
+    holes = jnp.isinf(best_z)
+    vmap = jnp.where(holes[..., None], _NAN, best["pos"])
+    nmap = jnp.where(holes[..., None], _NAN, best["normal"])
+    depth = jnp.where(holes, 0.0, best_z)
+    return Prediction(
+        vmap=vmap,
+        nmap=nmap,
+        rgb=best["color"],
+        conf=jnp.where(holes, 0.0, best["conf"]),
+        time=best["time"],
+        depth=depth,
+    )
+
+
+def synthesize_depth(pred: Prediction) -> jnp.ndarray:
+    """Depth-only output (ModelProjection::synthesizeDepth, depth_splat.frag)."""
+    return pred.depth
