@@ -32,6 +32,12 @@ class Config:
     use_so3: bool = True                       # -nso disables
     so3_iterations: int = 10
     icp_weight: float = 10.0                   # -i (CLI default 10; GUI shows 20)
+    # Object models track ICP-only by default.  For a small object the
+    # photometric term's (tx, ry) translation/rotation ambiguity (narrow
+    # effective FOV) injects large spurious motion into the blend — the
+    # reference uses one weight for all models and inherits that noise; we
+    # separate the weights (>=100 disables the RGB term, RGBDOdometry.cpp:237).
+    object_icp_weight: float = 100.0
     rgb_only: bool = False
     frame_to_frame_rgb: bool = False           # -ftf
     dist_threshold: float = 0.10               # m, RGBDOdometry.h:35
@@ -85,11 +91,21 @@ class Config:
     seg_method: str = "maskfusion"             # -method: maskfusion|cofusion|precomputed
     seg_min_new_rel: float = 0.015             # -segMinNew (GUI.h:345)
     seg_max_new_rel: float = 0.4               # -segMaxNew
-    seg_threshold: float = 0.8                 # edge threshold (MfSegmentation)
-    seg_weight_distance: float = 50.0          # wD
-    seg_weight_concavity: float = 0.1          # wC
-    seg_morph_iterations: int = 3
-    seg_morph_radius: int = 1
+    # Operative GUI defaults (GUI.h:361-375) — these override the
+    # MfSegmentation.h header defaults every loop in the reference
+    seg_threshold: float = 0.3                 # edge threshold
+    seg_weight_distance: float = 150.0         # wD
+    seg_weight_concavity: float = 2.8          # wC
+    seg_morph_edge_iterations: int = 0
+    seg_morph_edge_radius: int = 1
+    seg_morph_mask_iterations: int = 0
+    seg_morph_mask_radius: int = 2
+    seg_remove_edges: bool = True
+    seg_remove_edge_islands: bool = False
+    seg_min_mapped_component_size: int = 160   # MfSegmentation.cpp:43
+    seg_min_mask_model_overlap: float = 0.05
+    seg_small_component_threshold: int = 50
+    seg_edge_reassign_depth_delta: float = 0.008
     seg_overlap_component_mask: float = 0.65   # MfSegmentation.cpp:309-344
     seg_overlap_leftover: float = 0.6          # :501-522
     seg_edge_reassign_iters: int = 5           # :243-291

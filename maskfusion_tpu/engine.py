@@ -1,21 +1,30 @@
-"""The MaskFusion engine: per-frame SLAM pipeline.
+"""The MaskFusion engine: per-frame object-aware SLAM pipeline.
 
 TPU-native equivalent of Core/MaskFusion.{h,cpp} — the orchestration of
-preprocess -> track -> segment -> fuse -> clean -> predict
+preprocess -> track (all models) -> global projection -> segment ->
+spawn/deactivate -> fuse -> clean -> predict
 (MaskFusion::processFrame, MaskFusion.cpp:200-607).
 
-Architecture: all dense per-frame work happens inside ONE jitted step
-function per model-set ( `_static_step` for -static mode; the multi-model
-path batches models with vmap).  Host code only streams frames, runs the
-(cheap) segmentation label logic, manages model lifecycle, and logs poses.
-The surfel maps live in device HBM across frames; step functions donate the
-state so XLA updates buffers in place.
+Architecture: the dense per-frame work is grouped into a small number of
+jitted stages (preprocess / track / fuse+clean+predict / project) whose
+shapes depend only on (resolution, surfel capacity), so there is one compile
+per model class (global vs object).  Surfel maps stay in device HBM across
+frames with donated updates.  Host code streams frames, runs the cheap
+segmentation label logic, and manages the model lifecycle.
+
+Pose conventions (matching the reference exactly):
+  - every model's `pose` is the camera pose in that model's frame
+    (Model::performTracking, Model.cpp:427-447)
+  - model 0:                cam->world = pose
+  - object models:          obj->world = global_pose @ inverse(obj_pose)
+    (pose logging, MaskFusion.cpp:578-588)
+  - static objects mirror camera motion: pose = initial_c2w_inv @ global_pose
+    (Model.h:263-268)
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time as _time
 from typing import Dict, List, NamedTuple, Optional
 
@@ -28,35 +37,36 @@ from maskfusion_tpu.camera import CameraIntrinsics, Resolution
 from maskfusion_tpu.config import Config
 from maskfusion_tpu.frame import FrameData
 from maskfusion_tpu.mapping import surfel_map as sm
-from maskfusion_tpu.mapping.surfel_map import SurfelMap
 from maskfusion_tpu.ops import clean as clean_ops
 from maskfusion_tpu.ops import fill_in as fill_ops
 from maskfusion_tpu.ops import fuse as fuse_ops
 from maskfusion_tpu.ops import preprocess as pp
 from maskfusion_tpu.ops import splat as splat_ops
+from maskfusion_tpu.segmentation import create_segmenter
+from maskfusion_tpu.segmentation.mf_segmentation import ModelInfo
 from maskfusion_tpu.tracking import odometry as odo
 from maskfusion_tpu.utils.stopwatch import Stopwatch
 
 
-class ModelState(NamedTuple):
-    """One surfel model + pose track + the prediction used for tracking."""
-    map: SurfelMap
-    pose: jnp.ndarray          # (4,4) cam->world (for objects: model pose)
+class MapState(NamedTuple):
+    """Device-resident per-model state."""
+    map: sm.SurfelMap
+    pose: jnp.ndarray          # (4,4) camera pose in model frame
     last_delta: jnp.ndarray    # (4,4) last frame's motion (fusion weight)
-    pred_vmap: jnp.ndarray     # filled prediction (camera frame @ pose)
+    pred_vmap: jnp.ndarray     # filled prediction (camera frame)
     pred_nmap: jnp.ndarray
     pred_rgb: jnp.ndarray      # float32
     so3_intensity: jnp.ndarray  # coarsest-level intensity of previous frame
 
 
-class StepDiagnostics(NamedTuple):
+class TrackResult(NamedTuple):
+    pose: jnp.ndarray
+    delta: jnp.ndarray
     icp_error: jnp.ndarray
     icp_count: jnp.ndarray
     rgb_error: jnp.ndarray
     rgb_count: jnp.ndarray
-    covariance_diag: jnp.ndarray   # (6,)
-    surfel_count: jnp.ndarray
-    removed: jnp.ndarray
+    cov_diag: jnp.ndarray
 
 
 class Preprocessed(NamedTuple):
@@ -66,9 +76,30 @@ class Preprocessed(NamedTuple):
     frame_pyr: odo.FramePyramids
 
 
+@dataclasses.dataclass
+class Model:
+    """Host-side model record (the reference's Model bookkeeping fields,
+    Model.h:240-320)."""
+    model_id: int
+    state: MapState
+    class_id: int = -1
+    age: int = 0
+    unseen_count: int = 0
+    is_static: bool = True
+    initial_c2w_inv: Optional[np.ndarray] = None
+    conf_threshold: float = 10.0
+    max_depth: float = 100.0
+    prev_pose: Optional[np.ndarray] = None
+    pose_log: List = dataclasses.field(default_factory=list)
+
+    @property
+    def surfel_count(self) -> int:
+        return int(self.state.map.count)
+
+
 class MaskFusion:
-    """Host-side engine.  Mirrors the public surface of the reference
-    MaskFusion class (MaskFusion.h:45-425) in python-idiomatic form."""
+    """Host-side engine mirroring the public surface of the reference
+    MaskFusion class (MaskFusion.h:45-425)."""
 
     def __init__(self, resolution: Resolution, intr: CameraIntrinsics,
                  config: Optional[Config] = None):
@@ -76,9 +107,21 @@ class MaskFusion:
         self.intr = intr
         self.cfg = config or Config()
         self.tick = 0
-        self.global_model: Optional[ModelState] = None
-        self.pose_log: List[Dict] = []       # per-frame camera poses
+        self.models: List[Model] = []          # [0] = global model
+        self.inactive_models: List[Model] = []
+        self.next_id = 1
+        self.spawn_offset = self.cfg.model_spawn_offset
+        self.last_segmentation: Optional[np.ndarray] = None
         self.stopwatch = Stopwatch()
+        self.lost = False
+        self.bad_tracking_streak = 0
+        self.new_model_listeners = []
+        self.inactive_model_listeners = []
+        self.segmenter = None
+        if not self.cfg.static_mode:
+            self.segmenter = create_segmenter(
+                self.cfg.seg_method, self.cfg, resolution, intr
+            )
         self._build_jits()
 
     # ------------------------------------------------------------------ jit
@@ -86,15 +129,15 @@ class MaskFusion:
         cfg = self.cfg
         intr = self.intr
         H, W = self.res.height, self.res.width
+        time_delta = cfg.effective_time_delta()
 
         @jax.jit
-        def preprocess(rgb, depth, mask):
-            filt = pp.bilateral_filter_depth(
-                depth, radius=cfg.bilateral_radius
-            )
+        def preprocess(rgb, depth, prev_seg):
+            filt = pp.bilateral_filter_depth(depth, radius=cfg.bilateral_radius)
             gray = pp.rgb_to_intensity(rgb)
             levels = pp.build_frame_pyramids(
-                filt, gray, mask, intr, cfg.depth_cutoff, cfg.num_pyr_levels
+                filt, gray, prev_seg, intr, cfg.depth_cutoff,
+                cfg.num_pyr_levels,
             )
             frame_pyr = odo.build_frame_pyramids_for_odometry(
                 levels, rgb, cfg.max_depth_rgb
@@ -103,47 +146,8 @@ class MaskFusion:
 
         self._preprocess = preprocess
 
-        def init_model(prep: Preprocessed, rgb, mask, mask_id, pose, time,
-                       capacity):
-            vmap_raw = pp.create_vmap(
-                prep.frame_pyr.depths[0], intr, cfg.depth_cutoff
-            )
-            vmap_raw = jnp.where(
-                jnp.isfinite(prep.frame_pyr.depths[0])[..., None],
-                vmap_raw, jnp.nan,
-            )
-            m = sm.init_from_frame(
-                capacity,
-                prep.levels[0]["vmap"],   # raw == filtered at init in ref
-                prep.levels[0]["vmap"],
-                prep.levels[0]["nmap"],
-                rgb, mask, mask_id, pose, intr, time,
-            )
-            im = splat_ops.render_index_map(
-                m, se3.pose_inverse(pose), intr, H, W, time,
-                cfg.effective_time_delta(), cfg.depth_cutoff,
-            )
-            pred = splat_ops.combined_predict(im, intr, cfg.depth_cutoff)
-            filled = fill_ops.fill_in(
-                pred, rgb, prep.levels[0]["vmap"], prep.levels[0]["nmap"]
-            )
-            return ModelState(
-                map=m, pose=pose, last_delta=jnp.eye(4),
-                pred_vmap=filled.vmap, pred_nmap=filled.nmap,
-                pred_rgb=filled.rgb,
-                so3_intensity=prep.frame_pyr.intensities[cfg.num_pyr_levels - 1],
-            )
-
-        self._init_model = jax.jit(init_model, static_argnames=("capacity",))
-
-        def static_step(state: ModelState, prep: Preprocessed, rgb, mask,
-                        time):
-            """Full frame step for -static single-model mode: track against
-            the model prediction, fuse, clean, predict."""
-            time_delta = cfg.effective_time_delta()
-            mask_id = jnp.uint8(0)
-
-            # ---- track (Model::performTracking, Model.cpp:427-447) ----
+        def track(state: MapState, prep: Preprocessed, mask_id,
+                  is_object: bool = False):
             model_pyr = odo.build_model_pyramids(
                 state.pred_vmap, state.pred_nmap, state.pred_rgb,
                 state.pose, cfg.num_pyr_levels, cfg.max_depth_rgb,
@@ -153,7 +157,9 @@ class MaskFusion:
             res = odo.get_incremental_transformation(
                 state.pose[:3, 3], state.pose[:3, :3],
                 prep.frame_pyr, model_pyr, tuple(so3_pyr), intr,
-                rgb_only=cfg.rgb_only, icp_weight=cfg.icp_weight,
+                rgb_only=cfg.rgb_only,
+                icp_weight=(cfg.object_icp_weight if is_object
+                            else cfg.icp_weight),
                 pyramid=cfg.pyramid, fast_odom=cfg.fast_odom,
                 use_so3=cfg.use_so3, mask_id=mask_id,
                 use_mask_rgb=cfg.mask_rgb_residual,
@@ -167,127 +173,364 @@ class MaskFusion:
                 num_levels=cfg.num_pyr_levels,
             )
             pose = se3.make_pose(res.R, res.t)
-            pose_inv = se3.pose_inverse(pose)
+            return TrackResult(
+                pose=pose, delta=res.delta,
+                icp_error=res.icp_error, icp_count=res.icp_count,
+                rgb_error=res.rgb_error, rgb_count=res.rgb_count,
+                cov_diag=jnp.diag(odo.covariance(res.A)),
+            )
 
-            # ---- fuse (predictIndices -> fuse -> predictIndices -> clean,
-            #      MaskFusion.cpp:539-565) ----
+        self._track = jax.jit(track, static_argnames=("is_object",))
+
+        def fuse_clean_predict(state: MapState, prep: Preprocessed, rgb,
+                               seg_mask, prev_pose, time, mask_id,
+                               conf_threshold, max_depth, weight_multiplier,
+                               allow_fill_in: bool):
+            pose = state.pose
+            pose_inv = se3.pose_inverse(pose)
             weighting = fuse_ops.compute_fusion_weight(
-                state.last_delta, cfg.weight_multiplier
+                state.last_delta, weight_multiplier
             )
             im1 = splat_ops.render_index_map(
-                state.map, pose_inv, intr, H, W, time, time_delta,
-                cfg.depth_cutoff,
+                state.map, pose_inv, intr, H, W, time, time_delta, max_depth,
             )
             fres = fuse_ops.fuse(
                 state.map, im1,
                 prep.levels[0]["vmap"],
                 prep.levels[0]["vmap"], prep.levels[0]["nmap"],
-                rgb, mask, mask_id, pose, intr, time, weighting,
-                cfg.depth_cutoff,
+                rgb, seg_mask, mask_id, pose, intr, time, weighting,
+                max_depth,
                 checkerboard=cfg.fuse_subsample_checkerboard,
                 merge_z_thresh=cfg.surfel_merge_z_thresh,
             )
             im2 = splat_ops.render_index_map(
-                fres.map, pose_inv, intr, H, W, time, time_delta,
-                cfg.depth_cutoff,
+                fres.map, pose_inv, intr, H, W, time, time_delta, max_depth,
             )
             cres = clean_ops.clean(
-                fres.map, im2, prep.filt_depth, mask, mask_id, pose_inv,
-                intr, time, time_delta, cfg.conf_threshold_global,
-                cfg.depth_cutoff, cfg.outlier_coefficient,
+                fres.map, im2, prep.filt_depth, seg_mask, mask_id, pose_inv,
+                intr, time, time_delta, conf_threshold, max_depth,
+                cfg.outlier_coefficient,
                 unstable_time_limit=cfg.unstable_time_limit,
             )
-
-            # ---- predict for next frame (MaskFusion::predict, :616-628) ----
             im3 = splat_ops.render_index_map(
                 cres.map, pose_inv, intr, H, W, time, time_delta,
                 cfg.depth_cutoff,
             )
             pred = splat_ops.combined_predict(im3, intr, cfg.depth_cutoff)
+            if allow_fill_in:
+                # fill-in is enabled for the global model only — object
+                # predictions must stay object-only or tracking would lock
+                # onto the background (MaskFusion.cpp:619-624)
+                filled = fill_ops.fill_in(
+                    pred, rgb, prep.levels[0]["vmap"], prep.levels[0]["nmap"]
+                )
+                pv, pn, pc = filled.vmap, filled.nmap, filled.rgb
+            else:
+                pv, pn, pc = pred.vmap, pred.nmap, pred.rgb
+            delta = pose_inv @ prev_pose
+            new_state = MapState(
+                map=cres.map, pose=pose, last_delta=delta,
+                pred_vmap=pv, pred_nmap=pn, pred_rgb=pc,
+                so3_intensity=prep.frame_pyr.intensities[cfg.num_pyr_levels - 1],
+            )
+            return new_state, cres.removed
+
+        self._fuse_clean_predict = jax.jit(
+            fuse_clean_predict, donate_argnums=(0,),
+            static_argnames=("allow_fill_in",),
+        )
+
+        def project_ids(m: sm.SurfelMap, pose, time, max_depth):
+            """One model's contribution to the global (depth, id) projection
+            (GlobalProjection::project, conf threshold 12 hardcoded at
+            GlobalProjection.cpp:61)."""
+            im = splat_ops.render_index_map(
+                m, se3.pose_inverse(pose), intr, H, W, time, time_delta,
+                max_depth, conf_threshold=12.0,
+            )
+            pred = splat_ops.combined_predict(im, intr, max_depth)
+            depth = jnp.where(pred.depth > 0, pred.depth, jnp.inf)
+            return depth
+
+        self._project_ids = jax.jit(project_ids)
+
+        def init_map(prep: Preprocessed, rgb, seg_mask, mask_id, pose, time,
+                     capacity):
+            m = sm.init_from_frame(
+                capacity,
+                prep.levels[0]["vmap"], prep.levels[0]["vmap"],
+                prep.levels[0]["nmap"], rgb, seg_mask, mask_id, pose, intr,
+                time,
+            )
+            im = splat_ops.render_index_map(
+                m, se3.pose_inverse(pose), intr, H, W, time, time_delta,
+                cfg.depth_cutoff,
+            )
+            pred = splat_ops.combined_predict(im, intr, cfg.depth_cutoff)
             filled = fill_ops.fill_in(
                 pred, rgb, prep.levels[0]["vmap"], prep.levels[0]["nmap"]
             )
-
-            # last frame's relative motion, for the velocity fusion weight
-            delta = pose_inv @ state.pose
-            new_state = ModelState(
-                map=cres.map, pose=pose, last_delta=delta,
+            return MapState(
+                map=m, pose=pose, last_delta=jnp.eye(4),
                 pred_vmap=filled.vmap, pred_nmap=filled.nmap,
                 pred_rgb=filled.rgb,
                 so3_intensity=prep.frame_pyr.intensities[cfg.num_pyr_levels - 1],
             )
-            diag = StepDiagnostics(
-                icp_error=res.icp_error, icp_count=res.icp_count,
-                rgb_error=res.rgb_error, rgb_count=res.rgb_count,
-                covariance_diag=jnp.diag(odo.covariance(res.A)),
-                surfel_count=cres.map.count, removed=cres.removed,
-            )
-            return new_state, diag
 
-        self._static_step = jax.jit(static_step, donate_argnums=(0,))
+        self._init_map = jax.jit(init_map, static_argnames=("capacity",))
+
+        def empty_state(prep: Preprocessed, rgb, pose, capacity):
+            zero_pred = jnp.full((H, W, 3), jnp.nan, jnp.float32)
+            return MapState(
+                map=sm.empty(capacity), pose=pose, last_delta=jnp.eye(4),
+                pred_vmap=zero_pred, pred_nmap=zero_pred,
+                pred_rgb=jnp.zeros((H, W, 3), jnp.float32),
+                so3_intensity=prep.frame_pyr.intensities[cfg.num_pyr_levels - 1],
+            )
+
+        self._empty_state = jax.jit(empty_state, static_argnames=("capacity",))
+
+    # ------------------------------------------------------------ lifecycle
+    def _get_next_model_id(self, assign: bool) -> int:
+        nxt = self.next_id
+        if assign:
+            if len(self.models) >= self.cfg.max_models:
+                raise RuntimeError("maximum number of models (256) in use")
+            used = {m.model_id for m in self.models}
+            while True:
+                self.next_id = (self.next_id + 1) % 256 or 1
+                if self.next_id not in used:
+                    break
+        return nxt
+
+    def _inactivate_model(self, model: Model, reason: str):
+        """Smart delete (MaskFusion::inactivateModel, :699-713)."""
+        keep = self.cfg.keep_all_models or (
+            model.surfel_count >= self.cfg.min_surfels_keep
+            and model.conf_threshold > self.cfg.min_conf_keep
+        )
+        if keep:
+            self.inactive_models.append(model)
+        for cb in self.inactive_model_listeners:
+            cb(model)
+        self.models.remove(model)
 
     # ------------------------------------------------------------ frame API
     def process_frame(self, frame: FrameData,
                       gt_pose: Optional[np.ndarray] = None) -> Dict:
-        """Equivalent of MaskFusion::processFrame (MaskFusion.cpp:200-607),
-        static-mode path.  Returns diagnostics for the frame."""
         self.tick += 1
         t0 = _time.perf_counter()
+        cfg = self.cfg
+        H, W = self.res.height, self.res.width
         rgb = jnp.asarray(frame.rgb)
         depth = jnp.asarray(frame.depth.astype(np.float32))
-        mask = jnp.asarray(
-            frame.mask if frame.mask is not None
-            else np.zeros(frame.depth.shape, np.uint8)
+        prev_seg = jnp.asarray(
+            self.last_segmentation
+            if self.last_segmentation is not None
+            else np.zeros((H, W), np.uint8)
         )
 
         with self.stopwatch.scope("Preprocess"):
-            prep = self._preprocess(rgb, depth, mask)
+            prep = self._preprocess(rgb, depth, prev_seg)
 
-        if self.global_model is None:
+        if not self.models:
             pose0 = jnp.asarray(
-                gt_pose if gt_pose is not None else np.eye(4, dtype=np.float32)
+                (gt_pose if gt_pose is not None else np.eye(4)).astype(np.float32)
             )
-            self.global_model = self._init_model(
-                prep, rgb, mask, jnp.uint8(0), pose0,
-                float(self.tick), self.cfg.global_surfel_capacity,
+            state = self._init_map(
+                prep, rgb, prev_seg, jnp.uint8(0), pose0, float(self.tick),
+                cfg.global_surfel_capacity,
             )
-            diag_out = {
-                "tick": self.tick, "surfels": int(self.global_model.map.count),
-                "icp_error": 0.0, "tracking_ok": True,
-            }
-        else:
-            with self.stopwatch.scope("Run"):
-                self.global_model, diag = self._static_step(
-                    self.global_model, prep, rgb, mask, float(self.tick)
-                )
-            if gt_pose is not None:
-                # -p flag: override pose with ground truth
-                # (MainController.cpp:458-462)
-                self.global_model = self.global_model._replace(
+            self.models.append(Model(
+                model_id=0, state=state,
+                conf_threshold=cfg.conf_threshold_global,
+                max_depth=cfg.depth_cutoff, is_static=False,
+            ))
+            self._log_poses(frame)
+            return {"tick": self.tick, "surfels": self.models[0].surfel_count,
+                    "tracking_ok": True, "n_models": 1}
+
+        # ---------------- tracking (MaskFusion.cpp:240-278) ----------------
+        diag: Dict = {"tick": self.tick}
+        glob = self.models[0]
+        for model in self.models:
+            model.prev_pose = np.asarray(model.state.pose)
+        with self.stopwatch.scope("odom"):
+            if gt_pose is None:
+                tr = self._track(glob.state, prep, jnp.uint8(0))
+                glob.state = glob.state._replace(pose=tr.pose)
+                cov_max = float(np.asarray(tr.cov_diag).max())
+                tracking_ok = cov_max <= 1e-4
+                diag.update(icp_error=float(tr.icp_error),
+                            icp_count=float(tr.icp_count))
+            else:
+                glob.state = glob.state._replace(
                     pose=jnp.asarray(gt_pose.astype(np.float32))
                 )
-            cov_ok = bool(np.asarray(diag.covariance_diag).max() <= 1e-4)
-            diag_out = {
-                "tick": self.tick,
-                "surfels": int(diag.surfel_count),
-                "icp_error": float(diag.icp_error),
-                "icp_count": float(diag.icp_count),
-                "rgb_count": float(diag.rgb_count),
-                "removed": int(diag.removed),
-                "tracking_ok": cov_ok,
-            }
+                tracking_ok = True
 
-        self.pose_log.append({
-            "timestamp": frame.timestamp or float(self.tick),
-            "pose": np.asarray(self.global_model.pose),
-        })
-        self.stopwatch.record("Frame", (_time.perf_counter() - t0) * 1000)
-        return diag_out
+            trackable = cfg.trackable_classes
+            for model in list(self.models[1:]):
+                is_trackable = (not trackable) or (model.class_id in trackable)
+                if is_trackable:  # trackAllModels=true default (MaskFusion.h:397)
+                    trm = self._track(model.state, prep,
+                                      jnp.uint8(model.model_id),
+                                      is_object=True)
+                    jump = float(np.linalg.norm(np.asarray(trm.delta)[:3, 3]))
+                    if jump > cfg.model_deactivate_jump:
+                        self._inactivate_model(model, "movement")
+                        continue
+                    model.state = model.state._replace(pose=trm.pose)
+                else:
+                    cam = np.asarray(glob.state.pose)
+                    model.state = model.state._replace(
+                        pose=jnp.asarray(model.initial_c2w_inv @ cam)
+                    )
+
+        # tracking-loss bookkeeping (-rl; MaskFusion.cpp:377-414)
+        if cfg.relocalisation:
+            if not tracking_ok:
+                self.bad_tracking_streak += 1
+                if self.bad_tracking_streak >= 10:
+                    self.lost = True
+            else:
+                self.bad_tracking_streak = 0
+                self.lost = False
+
+        seg_result = None
+        seg_mask_np = np.zeros((H, W), np.uint8)
+        if not cfg.static_mode:
+            # -------- global projection + segmentation (:289-296) --------
+            with self.stopwatch.scope("segmentation"):
+                depths = []
+                for model in self.models:
+                    depths.append(self._project_ids(
+                        model.state.map, model.state.pose,
+                        float(self.tick), model.max_depth
+                        if model.model_id != 0 else cfg.depth_cutoff,
+                    ))
+                stack = np.stack([np.asarray(d) for d in depths])
+                arg = np.argmin(stack, axis=0)
+                have = np.isfinite(stack.min(axis=0))
+                ids = np.zeros((H, W), np.uint8)
+                for i, model in enumerate(self.models):
+                    ids[(arg == i) & have] = model.model_id
+
+                if self.spawn_offset < cfg.model_spawn_offset:
+                    self.spawn_offset += 1
+                allow_new = (
+                    self.spawn_offset >= cfg.model_spawn_offset
+                    and len(self.models) < cfg.max_active_models
+                    and (cfg.mask_cutoff_frame is None
+                         or self.tick <= cfg.mask_cutoff_frame)
+                )
+                infos = [ModelInfo(m.model_id, m.class_id) for m in self.models]
+                seg_result = self.segmenter.perform(
+                    frame, prep.levels[0]["vmap"], prep.levels[0]["nmap"],
+                    ids, infos, self._get_next_model_id(False), allow_new,
+                )
+                seg_mask_np = seg_result.full_segmentation
+                self.last_segmentation = seg_mask_np
+
+            # -------- spawn new model (:314-332) --------
+            if seg_result.has_new_label:
+                new_id = self._get_next_model_id(True)
+                md = seg_result.model_data[-1]
+                new_model = Model(
+                    model_id=new_id,
+                    state=self._empty_state(
+                        prep, rgb, glob.state.pose,
+                        cfg.object_surfel_capacity,
+                    ),
+                    class_id=md.class_id,
+                    conf_threshold=cfg.conf_threshold_object,
+                    max_depth=md.depth_mean + 1.2 * md.depth_std,
+                    is_static=True,
+                    initial_c2w_inv=np.eye(4, dtype=np.float32),
+                )
+                # spawn pose starts at the camera pose; static offset is
+                # identity at spawn (makeStatic, Model.h:264 with pose=I
+                # relative to camera)
+                cam = np.asarray(glob.state.pose)
+                new_model.initial_c2w_inv = np.eye(4, dtype=np.float32)
+                new_model.state = new_model.state._replace(
+                    pose=jnp.asarray(cam)
+                )
+                new_model.prev_pose = cam
+                self.models.append(new_model)
+                for cb in self.new_model_listeners:
+                    cb(new_model)
+                self.spawn_offset = 0
+
+            # per-model maxDepth + confidence ramp (:334-374)
+            for i, model in enumerate(self.models[1:], start=1):
+                md = seg_result.data_for(model.model_id)
+                if md is not None and not md.is_empty:
+                    model.max_depth = md.depth_mean + 1.2 * md.depth_std
+                    model.unseen_count = 0
+                else:
+                    model.unseen_count += 1
+                model.conf_threshold = min(4.5, model.age / 25.0)
+        else:
+            self.last_segmentation = seg_mask_np
+
+        # ---------------- fuse / clean / predict (:539-569) ----------------
+        seg_mask = jnp.asarray(seg_mask_np)
+        with self.stopwatch.scope("fuse"):
+            for model in self.models:
+                is_new = model.age == 0 and model.model_id != 0
+                wm = 100.0 if is_new else cfg.weight_multiplier
+                conf_t = (cfg.conf_threshold_global if model.model_id == 0
+                          else model.conf_threshold)
+                max_d = (cfg.depth_cutoff if model.model_id == 0
+                         else min(cfg.depth_cutoff, model.max_depth))
+                model.state, removed = self._fuse_clean_predict(
+                    model.state, prep, rgb, seg_mask,
+                    jnp.asarray(model.prev_pose),
+                    float(self.tick), jnp.uint8(model.model_id),
+                    float(conf_t), float(max_d), float(wm),
+                    allow_fill_in=(model.model_id == 0),
+                )
+
+        self._log_poses(frame)
+        for model in self.models:
+            model.age += 1
+
+        diag.update(
+            surfels=glob.surfel_count,
+            n_models=len(self.models),
+            model_ids=[m.model_id for m in self.models],
+            tracking_ok=tracking_ok,
+            lost=self.lost,
+        )
+        self.stopwatch.record("Run", (_time.perf_counter() - t0) * 1000)
+        return diag
+
+    def _log_poses(self, frame: FrameData):
+        """TUM-convention pose logging (MaskFusion.cpp:578-602)."""
+        glob_pose = np.asarray(self.models[0].state.pose)
+        for i, model in enumerate(self.models):
+            if i == 0:
+                pose = glob_pose
+            else:
+                pose = glob_pose @ np.linalg.inv(np.asarray(model.state.pose))
+            model.pose_log.append({
+                "timestamp": frame.timestamp or float(self.tick),
+                "tick": self.tick,
+                "pose": pose,
+            })
 
     # ------------------------------------------------------------- exports
     @property
-    def current_pose(self) -> np.ndarray:
-        return np.asarray(self.global_model.pose)
+    def global_model(self) -> Model:
+        return self.models[0]
 
-    def download_map(self):
-        return sm.download(self.global_model.map)
+    @property
+    def current_pose(self) -> np.ndarray:
+        return np.asarray(self.models[0].state.pose)
+
+    def download_map(self, model_index: int = 0):
+        return sm.download(self.models[model_index].state.map)
+
+    def all_models(self) -> List[Model]:
+        return self.models + self.inactive_models

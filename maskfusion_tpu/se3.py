@@ -112,9 +112,16 @@ def solve_6x6_ldlt(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     (RGBDOdometry.cpp:451); we keep it on-device — a 6x6 Cholesky is
     negligible next to the reductions and avoids a device->host sync
     per iteration."""
-    # Tikhonov floor keeps the solve finite when a model has no inliers;
-    # callers gate on inlier count.
-    A = A + 1e-8 * jnp.eye(A.shape[0], dtype=A.dtype)
+    # Relative Tikhonov damping: near-flat objects make point-to-plane ICP
+    # singular along surface-tangential directions, and with no photometric
+    # rows those directions' updates are pure noise amplified by the solve.
+    # Damping proportional to trace leaves well-constrained directions
+    # untouched (~1e-4 relative) and pins unconstrained ones at ~zero.
+    # (The reference's raw Eigen LDLT has this instability; its object
+    # tracking relies on the RGB term always being populated.)
+    dim = A.shape[0]
+    lam = 1e-4 * jnp.trace(A) / dim + 1e-12
+    A = A + lam * jnp.eye(dim, dtype=A.dtype)
     L = jax.scipy.linalg.cholesky(A, lower=True)
     y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
     x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)

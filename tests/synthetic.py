@@ -37,12 +37,13 @@ def make_scene_with_object(offset=np.zeros(3), seed=0):
     """Wavy background + a textured box 'object' that can be displaced.
     Returns (points, colors, labels) with label 1 on the object."""
     pts_bg, cols_bg = make_scene(seed=seed)
-    # box face grid at z ~1.5, 0.4x0.3 m
-    n = 220
-    x = np.linspace(-0.2, 0.2, n)
-    y = np.linspace(-0.15, 0.15, int(n * 0.75))
+    # curved object face at z ~1.5, 0.56x0.42 m (~50x36 px at 160x120 —
+    # comparable relative size to a household object at 640x480)
+    n = 320
+    x = np.linspace(-0.28, 0.28, n)
+    y = np.linspace(-0.21, 0.21, int(n * 0.75))
     X, Y = np.meshgrid(x, y)
-    Z = 1.5 + 0.03 * np.sin(9 * X) + 0.02 * np.cos(11 * Y)
+    Z = 1.5 + 0.10 * np.sin(4.5 * X) + 0.08 * np.cos(5.5 * Y)
     pts_obj = np.stack([X + 0.1, Y - 0.05, Z], -1).reshape(-1, 3).astype(np.float32)
     pts_obj = pts_obj + offset.astype(np.float32)
     r = 127.5 + 110 * np.sin(17 * X)

@@ -1,0 +1,92 @@
+"""Multi-model SLAM: a moving object with precomputed masks (config 4 slice,
+the reference's -method precomputed testing seam)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from maskfusion_tpu.camera import Resolution
+from maskfusion_tpu.config import Config
+from maskfusion_tpu.engine import MaskFusion
+from maskfusion_tpu.frame import FrameData
+from tests import synthetic as syn
+
+
+def make_engine(**overrides):
+    cfg = Config(
+        global_surfel_capacity=1 << 16,
+        object_surfel_capacity=1 << 13,
+        seg_method="precomputed",
+        use_so3=False,
+        open_loop=True,
+        **overrides,
+    )
+    return MaskFusion(Resolution(syn.W, syn.H), syn.DEFAULT_INTR, cfg)
+
+
+def run_moving_object(n_frames=6, step=0.008, cam_poses=None):
+    eng = make_engine()
+    if cam_poses is None:
+        cam_poses = [np.eye(4, dtype=np.float32)] * n_frames
+    obj_offsets = []
+    for i in range(n_frames):
+        off = np.array([step * max(0, i - 1), 0.0, 0.0])
+        obj_offsets.append(off)
+        pts, cols, labels = syn.make_scene_with_object(offset=off)
+        rgb, depth, lab = syn.render(pts, cols, cam_poses[i], syn.DEFAULT_INTR,
+                                     labels=labels)
+        frame = FrameData(rgb=rgb, depth=depth, mask=lab,
+                          class_ids=[0, 7],  # object class 7
+                          timestamp=float(i))
+        eng.process_frame(frame)
+    return eng, obj_offsets
+
+
+def test_object_model_spawns():
+    eng, _ = run_moving_object(n_frames=3, step=0.0)
+    assert len(eng.models) == 2
+    obj = eng.models[1]
+    assert obj.model_id == 1
+    assert obj.class_id == 7
+    assert obj.surfel_count > 50
+
+
+def test_object_motion_tracked():
+    eng, offsets = run_moving_object(n_frames=6, step=0.008)
+    assert len(eng.models) >= 2
+    obj = eng.models[1]
+    # obj->world translation should follow the cumulative object motion
+    # (offsets are relative to the scene built at spawn time, frame 1)
+    est = obj.pose_log[-1]["pose"][:3, 3]
+    true = offsets[-1] - offsets[1]
+    err = np.linalg.norm(est - true)
+    assert np.linalg.norm(true) > 0.02  # sanity: object did move
+    assert err < 0.012, f"object translation error {err*1000:.1f}mm (true {true})"
+    # camera stayed put
+    cam_t = eng.current_pose[:3, 3]
+    assert np.linalg.norm(cam_t) < 5e-3
+
+
+def test_static_object_with_moving_camera():
+    # object static; camera moves: object pose log should stay ~origin
+    poses = [syn.pose_from(np.zeros(3), np.array([0.004 * i, 0, 0]))
+             for i in range(5)]
+    eng, _ = run_moving_object(n_frames=5, step=0.0, cam_poses=poses)
+    assert len(eng.models) >= 2
+    obj = eng.models[1]
+    est = obj.pose_log[-1]["pose"][:3, 3]
+    assert np.linalg.norm(est) < 6e-3, f"static object drifted {est}"
+    # camera tracked
+    cam_err = np.linalg.norm(eng.current_pose[:3, 3] - poses[-1][:3, 3])
+    assert cam_err < 4e-3
+
+
+def test_mask_gates_fusion():
+    # pixels labelled for the object must not fuse into the global model:
+    # global surfel count should not grow over the object region
+    eng, _ = run_moving_object(n_frames=4, step=0.0)
+    obj = eng.models[1]
+    m = eng.download_map(1)
+    # object surfels concentrated near the object's world region (x~[-0.1,0.3])
+    assert np.abs(np.median(m["pos"][:, 2]) - 1.5) < 0.1
+    assert m["pos"][:, 0].min() > -0.35 and m["pos"][:, 0].max() < 0.55

@@ -41,12 +41,12 @@ def test_static_slam_trajectory():
     engine, poses, diags = run_slam()
     # ATE over the trajectory
     errs = []
-    for logged, gt in zip(engine.pose_log, poses):
+    for logged, gt in zip(engine.global_model.pose_log, poses):
         errs.append(np.linalg.norm(logged["pose"][:3, 3] - gt[:3, 3]))
     ate_rmse = np.sqrt(np.mean(np.square(errs)))
     assert ate_rmse < 5e-3, f"ATE RMSE {ate_rmse*1000:.2f}mm"
-    r_err = syn.rotation_angle_deg(engine.pose_log[-1]["pose"][:3, :3],
-                                   poses[-1][:3, :3])
+    r_err = syn.rotation_angle_deg(
+        engine.global_model.pose_log[-1]["pose"][:3, :3], poses[-1][:3, :3])
     assert r_err < 0.5, f"final rotation error {r_err} deg"
     # map stays healthy: bounded growth, tracking ok throughout
     assert all(d["tracking_ok"] for d in diags)
@@ -67,7 +67,8 @@ def test_static_slam_trajectory():
 
 def test_ground_truth_injection():
     # -p flag path: pose overridden each frame
-    cfg = Config(global_surfel_capacity=1 << 16, use_so3=False)
+    cfg = Config(global_surfel_capacity=1 << 16, use_so3=False,
+                 static_mode=True)
     engine = MaskFusion(Resolution(syn.W, syn.H), syn.DEFAULT_INTR, cfg)
     pts, cols = syn.make_scene()
     poses = make_trajectory(3)
