@@ -1,0 +1,122 @@
+"""ElasticFusion .klg binary log reader (ref: GUI/Tools/KlgLogReader.cpp).
+
+Format: int32 frame count, then per frame
+  int64 timestamp | int32 depthSize | int32 rgbSize |
+  depth payload (zlib-compressed uint16 mm, or raw) |
+  rgb payload (JPEG, or raw 8UC3)
+Depth converts to metric float32 (x0.001).  A per-frame seek stack supports
+getPrevious/rewind (KlgLogReader.cpp:40-90)."""
+
+from __future__ import annotations
+
+import io as _io
+import struct
+import zlib
+from typing import Optional
+
+import numpy as np
+
+from maskfusion_tpu.frame import FrameData
+from maskfusion_tpu.io.log_reader import LogReader
+
+
+class KlgLogReader(LogReader):
+    def __init__(self, file: str, width: int, height: int,
+                 flip_colors: bool = False):
+        super().__init__(file, flip_colors)
+        self.width = width
+        self.height = height
+        self.fp = open(file, "rb")
+        (self.num_frames,) = struct.unpack("<i", self.fp.read(4))
+        self._seek_stack = []
+
+    def _read_frame(self) -> FrameData:
+        n = self.width * self.height
+        ts, depth_size, rgb_size = struct.unpack("<qii", self.fp.read(16))
+        depth_payload = self.fp.read(depth_size)
+        rgb_payload = self.fp.read(rgb_size) if rgb_size > 0 else b""
+
+        if depth_size != n * 2:
+            depth_raw = zlib.decompress(depth_payload)
+        else:
+            depth_raw = depth_payload
+        depth = np.frombuffer(depth_raw, np.uint16).reshape(
+            self.height, self.width
+        ).astype(np.float32) * 0.001
+
+        if rgb_size > 0:
+            if rgb_size != n * 3:
+                import cv2
+
+                rgb = cv2.imdecode(
+                    np.frombuffer(rgb_payload, np.uint8), cv2.IMREAD_COLOR
+                )
+                rgb = cv2.cvtColor(rgb, cv2.COLOR_BGR2RGB)
+            else:
+                rgb = np.frombuffer(rgb_payload, np.uint8).reshape(
+                    self.height, self.width, 3
+                ).copy()
+        else:
+            rgb = np.zeros((self.height, self.width, 3), np.uint8)
+        if self.flip_colors:
+            rgb = rgb[..., ::-1].copy()
+
+        self.current_frame += 1
+        return FrameData(rgb=rgb, depth=depth, timestamp=float(ts),
+                         index=self.current_frame - 1)
+
+    def get_next(self) -> Optional[FrameData]:
+        if not self.has_more():
+            return None
+        self._seek_stack.append(self.fp.tell())
+        return self._read_frame()
+
+    def get_previous(self) -> FrameData:
+        assert self._seek_stack
+        self.fp.seek(self._seek_stack.pop())
+        self.current_frame -= 1
+        return self._read_frame()
+
+    def fast_forward(self, frame: int):
+        """Skip frames without decoding payloads."""
+        while self.current_frame < frame and self.has_more():
+            self._seek_stack.append(self.fp.tell())
+            _, depth_size, rgb_size = struct.unpack("<qii", self.fp.read(16))
+            self.fp.seek(depth_size + max(rgb_size, 0), 1)
+            self.current_frame += 1
+
+    def has_more(self) -> bool:
+        return self.current_frame + 1 < self.num_frames
+
+    def get_num_frames(self) -> int:
+        return self.num_frames
+
+    def rewind(self) -> bool:
+        self.fp.seek(4)
+        self.current_frame = 0
+        self._seek_stack.clear()
+        return True
+
+
+def write_klg(path: str, frames, compress: bool = True):
+    """Writer (for tests and dataset conversion — the reference points at
+    external klg tools; having both directions makes the format round-trip
+    testable)."""
+    import cv2
+
+    with open(path, "wb") as f:
+        frames = list(frames)
+        f.write(struct.pack("<i", len(frames)))
+        for fr in frames:
+            depth_mm = np.clip(np.round(fr.depth * 1000.0), 0, 65535).astype(np.uint16)
+            dpayload = zlib.compress(depth_mm.tobytes()) if compress \
+                else depth_mm.tobytes()
+            ok, jpg = cv2.imencode(
+                ".jpg", cv2.cvtColor(fr.rgb, cv2.COLOR_RGB2BGR),
+                [cv2.IMWRITE_JPEG_QUALITY, 95],
+            )
+            rpayload = jpg.tobytes() if compress and ok else fr.rgb.tobytes()
+            f.write(struct.pack("<qii", int(fr.timestamp), len(dpayload),
+                                len(rpayload)))
+            f.write(dpayload)
+            f.write(rpayload)

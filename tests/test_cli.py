@@ -1,0 +1,59 @@
+"""CLI end-to-end: the -dir/-static/-method/-cal/export surface
+(MainController equivalent)."""
+
+import os
+
+import numpy as np
+
+from maskfusion_tpu.main import main
+from tests import synthetic as syn
+from tests.test_io import write_dataset
+
+
+def _write_cal(tmp_path):
+    cal = tmp_path / "cal.txt"
+    intr = syn.DEFAULT_INTR
+    cal.write_text(f"{intr.fx} {intr.fy} {intr.cx} {intr.cy}\n")
+    return str(cal)
+
+
+def test_cli_static_run_with_exports(tmp_path):
+    data = tmp_path / "data"
+    data.mkdir()
+    write_dataset(str(data), n=3, with_masks=False)
+    out = tmp_path / "out"
+    rc = main([
+        "-dir", str(data), "-static", "-q", "-nso",
+        "-cal", _write_cal(tmp_path),
+        "-exportdir", str(out), "-ep", "-em",
+        "--global-capacity", str(1 << 16),
+    ])
+    assert rc == 0
+    assert (out / "poses-0.txt").exists()
+    lines = (out / "poses-0.txt").read_text().splitlines()
+    assert len(lines) == 3
+    assert all(len(l.split()) == 8 for l in lines)
+    assert (out / "cloud-0.ply").exists()
+    from maskfusion_tpu.io.export import load_ply
+
+    cloud = load_ply(str(out / "cloud-0.ply"))
+    assert len(cloud["pos"]) == 0 or np.isfinite(cloud["pos"]).all()
+
+
+def test_cli_precomputed_multimodel(tmp_path):
+    data = tmp_path / "data"
+    data.mkdir()
+    write_dataset(str(data), n=3, with_masks=True)
+    out = tmp_path / "out"
+    rc = main([
+        "-dir", str(data), "-method", "precomputed", "-q", "-nso",
+        "-cal", _write_cal(tmp_path),
+        "-exportdir", str(out), "-ep", "-es", "-el",
+        "--global-capacity", str(1 << 16),
+        "--object-capacity", str(1 << 13),
+    ])
+    assert rc == 0
+    # object model spawned -> second pose log exists
+    assert (out / "poses-1.txt").exists()
+    assert (out / "Segmentation3.png").exists()
+    assert (out / "Labels3.png").exists()
