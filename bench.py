@@ -1,0 +1,69 @@
+"""Headline benchmark: SLAM FPS at 640x480 on one TPU chip.
+
+Runs the static-mode pipeline (preprocess -> track -> fuse -> clean ->
+predict) on synthetic frames at the reference's working resolution and
+reports steady-state frames/second against the 30 FPS real-time target
+(BASELINE.md: 33.3 ms/frame governor, GUI/MainController.cpp:487-489).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FPS = 30.0
+
+
+def make_frames(width, height, n):
+    from maskfusion_tpu.frame import FrameData
+
+    u, v = np.meshgrid(np.arange(width), np.arange(height))
+    frames = []
+    for i in range(n):
+        depth = (
+            1.5 + 0.0004 * u + 0.0003 * v
+            + 0.08 * np.sin(u * 0.03 + i * 0.02) * np.cos(v * 0.04)
+        ).astype(np.float32)
+        rgb = np.stack(
+            [(u * 3 + 5 * i) % 256, (v * 2) % 256, (u + v) % 256], -1
+        ).astype(np.uint8)
+        frames.append(FrameData(rgb=rgb, depth=depth, timestamp=float(i)))
+    return frames
+
+
+def main():
+    from maskfusion_tpu.camera import CameraIntrinsics, Resolution
+    from maskfusion_tpu.config import Config
+    from maskfusion_tpu.engine import MaskFusion
+
+    W, H = 640, 480
+    cfg = Config(static_mode=True, global_surfel_capacity=1 << 22)
+    engine = MaskFusion(Resolution(W, H),
+                        CameraIntrinsics(528.0, 528.0, 320.0, 240.0), cfg)
+
+    frames = make_frames(W, H, 12)
+    # warmup: init + compile
+    engine.process_frame(frames[0])
+    engine.process_frame(frames[1])
+
+    times = []
+    for f in frames[2:]:
+        t0 = time.perf_counter()
+        engine.process_frame(f)
+        times.append(time.perf_counter() - t0)
+
+    median_s = float(np.median(times))
+    fps = 1.0 / median_s
+    print(json.dumps({
+        "metric": "slam_fps_640x480_static",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
