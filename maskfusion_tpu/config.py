@@ -118,6 +118,7 @@ class Config:
 
     # --- relocalisation / ferns ---
     relocalisation: bool = False               # -rl
+    close_loops: bool = False                  # fern loop closure + deformation
     fern_threshold: float = 0.3095             # -ft
     local_loop_residual_thresh: float = 5e-05  # -ie
     local_loop_inlier_thresh: float = 35000.0  # -ic

@@ -114,7 +114,17 @@ class MaskFusion:
         self.last_segmentation: Optional[np.ndarray] = None
         self.stopwatch = Stopwatch()
         self.lost = False
+        self.last_frame_recovery = False
         self.bad_tracking_streak = 0
+        self.ferns = None
+        if self.cfg.relocalisation or self.cfg.close_loops:
+            from maskfusion_tpu.reloc.ferns import Ferns
+
+            self.ferns = Ferns(
+                self.cfg.num_ferns, resolution, intr,
+                max_depth=self.cfg.depth_cutoff,
+                photo_thresh=self.cfg.photometric_thresh,
+            )
         self.new_model_listeners = []
         self.inactive_model_listeners = []
         self.segmenter = None
@@ -389,13 +399,35 @@ class MaskFusion:
 
         # tracking-loss bookkeeping (-rl; MaskFusion.cpp:377-414)
         if cfg.relocalisation:
-            if not tracking_ok:
-                self.bad_tracking_streak += 1
-                if self.bad_tracking_streak >= 10:
-                    self.lost = True
-            else:
-                self.bad_tracking_streak = 0
-                self.lost = False
+            if not self.lost:
+                if not tracking_ok:
+                    self.bad_tracking_streak += 1
+                    if self.bad_tracking_streak > 10:
+                        self.lost = True
+                else:
+                    self.bad_tracking_streak = 0
+            elif self.last_frame_recovery:
+                if tracking_ok:
+                    self.lost = False
+                    self.bad_tracking_streak = 0
+                self.last_frame_recovery = False
+
+        # fern loop closure / relocalisation (MaskFusion.cpp:423-537)
+        fern_accepted = False
+        if self.ferns is not None and cfg.close_loops:
+            self.last_frame_recovery = False
+            small = self._fern_views(glob)
+            res = self.ferns.find_frame(
+                np.asarray(glob.state.pose), *small,
+                time=self.tick, lost=self.lost,
+            )
+            if res.pose is not None:
+                if self.lost:
+                    glob.state = glob.state._replace(
+                        pose=jnp.asarray(res.pose.astype(np.float32)))
+                    self.last_frame_recovery = True
+                else:
+                    fern_accepted = self._apply_loop_closure(glob, res)
 
         seg_result = None
         seg_mask_np = np.zeros((H, W), np.uint8)
@@ -476,8 +508,9 @@ class MaskFusion:
 
         # ---------------- fuse / clean / predict (:539-569) ----------------
         seg_mask = jnp.asarray(seg_mask_np)
+        do_fuse = tracking_ok and not self.lost and not cfg.rgb_only
         with self.stopwatch.scope("fuse"):
-            for model in self.models:
+            for model in self.models if do_fuse else []:
                 is_new = model.age == 0 and model.model_id != 0
                 wm = 100.0 if is_new else cfg.weight_multiplier
                 conf_t = (cfg.conf_threshold_global if model.model_id == 0
@@ -492,6 +525,11 @@ class MaskFusion:
                     allow_fill_in=(model.model_id == 0),
                 )
 
+        if self.ferns is not None and not self.lost:
+            small = self._fern_views(glob)
+            self.ferns.add_frame(*small, np.asarray(glob.state.pose),
+                                 self.tick, cfg.fern_threshold)
+
         self._log_poses(frame)
         for model in self.models:
             model.age += 1
@@ -505,6 +543,47 @@ class MaskFusion:
         )
         self.stopwatch.record("Run", (_time.perf_counter() - t0) * 1000)
         return diag
+
+    def _fern_views(self, glob: "Model"):
+        """1/8-scale fill-in views for the fern DB (ferns use GPUResize on
+        the fill-in textures, MaskFusion.cpp:430-432, 609-614)."""
+        f = self.ferns.factor
+        rgb = np.asarray(glob.state.pred_rgb)[::f, ::f].astype(np.uint8)
+        vm = np.nan_to_num(np.asarray(glob.state.pred_vmap)[::f, ::f], nan=0.0)
+        nm = np.nan_to_num(np.asarray(glob.state.pred_nmap)[::f, ::f], nan=0.0)
+        return rgb, vm, nm
+
+    def _apply_loop_closure(self, glob: "Model", res) -> bool:
+        """Local loop closure: deformation-graph optimisation over the fern
+        constraints, accepted on the reference's thresholds
+        (Deformation::constrain, Deformation.cpp:75-180)."""
+        from maskfusion_tpu.mapping import surfel_map as sm
+        from maskfusion_tpu.reloc.deformation import DeformationGraph
+
+        n = glob.surfel_count
+        if n < 100 or not res.constraints:
+            return False
+        pos = np.asarray(glob.state.map.pos[:n])
+        times = np.asarray(glob.state.map.init_time[:n])
+        graph = DeformationGraph.sample_from_map(pos, times, max_nodes=256)
+        for c in res.constraints:
+            graph.add_constraint(c.source_point, c.target_point)
+        total, mean_cons = graph.optimise()
+        if not (mean_cons < 0.0003 and total < 0.12):
+            return False
+        normals = np.asarray(glob.state.map.normal[:n])
+        new_pos, new_norm = graph.apply_to_points(pos, normals)
+        full_pos = np.array(glob.state.map.pos)
+        full_norm = np.array(glob.state.map.normal)
+        full_pos[:n] = new_pos
+        full_norm[:n] = new_norm
+        glob.state = glob.state._replace(map=glob.state.map._replace(
+            pos=jnp.asarray(full_pos.astype(np.float32)),
+            normal=jnp.asarray(full_norm.astype(np.float32)),
+        ))
+        for fframe in self.ferns.frames:
+            fframe.pose = graph.apply_to_pose(fframe.pose)
+        return True
 
     def _log_poses(self, frame: FrameData):
         """TUM-convention pose logging (MaskFusion.cpp:578-602)."""
