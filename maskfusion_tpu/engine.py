@@ -114,6 +114,9 @@ class MaskFusion:
         self.last_segmentation: Optional[np.ndarray] = None
         self.stopwatch = Stopwatch()
         self.lost = False
+        self._last_count = 0
+        self._last_tracking_ok = True
+        self._pending_diag = None
         self.last_frame_recovery = False
         self.bad_tracking_streak = 0
         self.ferns = None
@@ -195,17 +198,19 @@ class MaskFusion:
         def fuse_clean_predict(state: MapState, prep: Preprocessed, rgb,
                                seg_mask, prev_pose, time, mask_id,
                                conf_threshold, max_depth, weight_multiplier,
-                               allow_fill_in: bool):
+                               allow_fill_in: bool, bucket: int):
             pose = state.pose
             pose_inv = se3.pose_inverse(pose)
             weighting = fuse_ops.compute_fusion_weight(
                 state.last_delta, weight_multiplier
             )
+            full_map = state.map
+            work = sm.prefix_view(full_map, bucket)
             im1 = splat_ops.render_index_map(
-                state.map, pose_inv, intr, H, W, time, time_delta, max_depth,
+                work, pose_inv, intr, H, W, time, time_delta, max_depth,
             )
             fres = fuse_ops.fuse(
-                state.map, im1,
+                work, im1,
                 prep.levels[0]["vmap"],
                 prep.levels[0]["vmap"], prep.levels[0]["nmap"],
                 rgb, seg_mask, mask_id, pose, intr, time, weighting,
@@ -222,11 +227,16 @@ class MaskFusion:
                 cfg.outlier_coefficient,
                 unstable_time_limit=cfg.unstable_time_limit,
             )
-            im3 = splat_ops.render_index_map(
-                cres.map, pose_inv, intr, H, W, time, time_delta,
-                cfg.depth_cutoff,
-            )
-            pred = splat_ops.combined_predict(im3, intr, cfg.depth_cutoff)
+            final_map = sm.write_back(full_map, cres.map)
+            # prediction reuses the post-fuse index map with clean's keep
+            # mask gating the candidates — saves a full index render
+            idx = im2.index
+            keep_img = jnp.where(
+                idx >= 0, cres.keep[jnp.clip(idx, 0)], False)
+            im2_gated = im2._replace(
+                index=jnp.where(keep_img, idx, -1))
+            pred = splat_ops.combined_predict(im2_gated, intr,
+                                              cfg.depth_cutoff)
             if allow_fill_in:
                 # fill-in is enabled for the global model only — object
                 # predictions must stay object-only or tracking would lock
@@ -239,7 +249,7 @@ class MaskFusion:
                 pv, pn, pc = pred.vmap, pred.nmap, pred.rgb
             delta = pose_inv @ prev_pose
             new_state = MapState(
-                map=cres.map, pose=pose, last_delta=delta,
+                map=final_map, pose=pose, last_delta=delta,
                 pred_vmap=pv, pred_nmap=pn, pred_rgb=pc,
                 so3_intensity=prep.frame_pyr.intensities[cfg.num_pyr_levels - 1],
             )
@@ -247,22 +257,48 @@ class MaskFusion:
 
         self._fuse_clean_predict = jax.jit(
             fuse_clean_predict, donate_argnums=(0,),
-            static_argnames=("allow_fill_in",),
+            static_argnames=("allow_fill_in", "bucket"),
         )
 
-        def project_ids(m: sm.SurfelMap, pose, time, max_depth):
+        def fused_static_step(state: MapState, rgb, depth, time,
+                              bucket: int):
+            """preprocess + track + fuse + clean + predict in ONE dispatch —
+            the -static fast path (remote/queued dispatch costs dominate
+            multi-call frames)."""
+            zeros_mask = jnp.zeros((H, W), jnp.uint8)
+            prep = preprocess(rgb, depth, zeros_mask)
+            tr = track(state, prep, jnp.uint8(0))
+            prev_pose = state.pose
+            state = state._replace(pose=tr.pose)
+            new_state, removed = fuse_clean_predict(
+                state, prep, rgb, zeros_mask, prev_pose, time, jnp.uint8(0),
+                cfg.conf_threshold_global, cfg.depth_cutoff,
+                cfg.weight_multiplier, True, bucket,
+            )
+            diag = (tr.icp_error, tr.icp_count, tr.rgb_count,
+                    jnp.max(tr.cov_diag), new_state.map.count, removed)
+            return new_state, diag
+
+        self._fused_static_step = jax.jit(
+            fused_static_step, donate_argnums=(0,),
+            static_argnames=("bucket",),
+        )
+
+        def project_ids(m: sm.SurfelMap, pose, time, max_depth,
+                        bucket: int):
             """One model's contribution to the global (depth, id) projection
             (GlobalProjection::project, conf threshold 12 hardcoded at
             GlobalProjection.cpp:61)."""
             im = splat_ops.render_index_map(
-                m, se3.pose_inverse(pose), intr, H, W, time, time_delta,
-                max_depth, conf_threshold=12.0,
+                sm.prefix_view(m, bucket), se3.pose_inverse(pose), intr,
+                H, W, time, time_delta, max_depth, conf_threshold=12.0,
             )
             pred = splat_ops.combined_predict(im, intr, max_depth)
             depth = jnp.where(pred.depth > 0, pred.depth, jnp.inf)
             return depth
 
-        self._project_ids = jax.jit(project_ids)
+        self._project_ids = jax.jit(project_ids,
+                                    static_argnames=("bucket",))
 
         def init_map(prep: Preprocessed, rgb, seg_mask, mask_id, pose, time,
                      capacity):
@@ -356,9 +392,39 @@ class MaskFusion:
                 conf_threshold=cfg.conf_threshold_global,
                 max_depth=cfg.depth_cutoff, is_static=False,
             ))
+            self._last_count = self.models[0].surfel_count
             self._log_poses(frame)
             return {"tick": self.tick, "surfels": self.models[0].surfel_count,
                     "tracking_ok": True, "n_models": 1}
+
+        # -static fast path: one fused dispatch + ONE host readback per
+        # frame (each device->host sync is a full round trip on remote
+        # transports; scattered float()/int() reads dominate otherwise)
+        if (cfg.static_mode and gt_pose is None and self.ferns is None):
+            glob = self.models[0]
+            bucket = sm.choose_bucket(self._last_count,
+                                      glob.state.map.capacity)
+            glob.state, d = self._fused_static_step(
+                glob.state, rgb, depth, float(self.tick), bucket=bucket)
+            # pose log keeps a device-side copy (the state itself is
+            # donated into the next step); export converts lazily
+            glob.pose_log.append({
+                "timestamp": frame.timestamp or float(self.tick),
+                "tick": self.tick, "pose": glob.state.pose.copy(),
+            })
+            glob.age += 1
+            # No per-frame sync: diagnostics stay on device and are fetched
+            # every DIAG_INTERVAL frames (a device->host round trip costs
+            # hundreds of ms on remote transports and would serialise the
+            # pipeline).  `flush_diagnostics()` forces a fetch.
+            self._pending_diag = d
+            out = {"tick": self.tick, "surfels": self._last_count,
+                   "n_models": 1, "tracking_ok": self._last_tracking_ok}
+            if self.tick % self.DIAG_INTERVAL == 0:
+                out.update(self.flush_diagnostics())
+            self.stopwatch.record("Run",
+                                  (_time.perf_counter() - t0) * 1000)
+            return out
 
         # ---------------- tracking (MaskFusion.cpp:240-278) ----------------
         diag: Dict = {"tick": self.tick}
@@ -440,6 +506,8 @@ class MaskFusion:
                         model.state.map, model.state.pose,
                         float(self.tick), model.max_depth
                         if model.model_id != 0 else cfg.depth_cutoff,
+                        bucket=sm.choose_bucket(model.surfel_count,
+                                                model.state.map.capacity),
                     ))
                 stack = np.stack([np.asarray(d) for d in depths])
                 arg = np.argmin(stack, axis=0)
@@ -523,6 +591,8 @@ class MaskFusion:
                     float(self.tick), jnp.uint8(model.model_id),
                     float(conf_t), float(max_d), float(wm),
                     allow_fill_in=(model.model_id == 0),
+                    bucket=sm.choose_bucket(model.surfel_count,
+                                            model.state.map.capacity),
                 )
 
         if self.ferns is not None and not self.lost:
@@ -543,6 +613,23 @@ class MaskFusion:
         )
         self.stopwatch.record("Run", (_time.perf_counter() - t0) * 1000)
         return diag
+
+    DIAG_INTERVAL = 8
+
+    def flush_diagnostics(self):
+        """Fetch the most recent fused-step diagnostics (one round trip)."""
+        if self._pending_diag is None:
+            return {}
+        icp_err, icp_cnt, rgb_cnt, cov_max, count, removed = jax.device_get(
+            self._pending_diag)
+        self._pending_diag = None
+        self._last_count = int(count)
+        self._last_tracking_ok = bool(cov_max <= 1e-4)
+        return {
+            "surfels": int(count), "icp_error": float(icp_err),
+            "icp_count": float(icp_cnt), "rgb_count": float(rgb_cnt),
+            "removed": int(removed), "tracking_ok": self._last_tracking_ok,
+        }
 
     def _fern_views(self, glob: "Model"):
         """1/8-scale fill-in views for the fern DB (ferns use GPUResize on

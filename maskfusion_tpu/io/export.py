@@ -95,7 +95,7 @@ def export_poses(export_dir: str, models: List, use_ticks: bool = False):
         path = os.path.join(export_dir, f"poses-{model.model_id}.txt")
         with open(path, "w") as f:
             for entry in model.pose_log:
-                T = entry["pose"]
+                T = np.asarray(entry["pose"])  # may be a device array
                 t = T[:3, 3]
                 qx, qy, qz, qw = _mat_to_quat(T[:3, :3])
                 stamp = entry["tick"] if use_ticks else entry["timestamp"]

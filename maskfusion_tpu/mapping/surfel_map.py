@@ -122,30 +122,43 @@ def compact_into(
     keep: jnp.ndarray,
     pos, conf, color, init_time, last_seen, normal, radius,
 ) -> SurfelMap:
-    """Append `keep`-masked candidate records after m.count via prefix-sum
-    stream compaction (replaces transform-feedback append;
-    SURVEY.md §7 decision 3).  Overflow beyond capacity is dropped."""
-    n = keep.shape[0]
+    """Append `keep`-masked candidate records after m.count (replaces
+    transform-feedback append; SURVEY.md §7 decision 3).  Scatter-free:
+    stable-sort compaction of the candidates + a two-gather merge (XLA's TPU
+    scatter serialises per element — see ops/sort_utils).  Overflow beyond
+    capacity is dropped."""
+    from maskfusion_tpu.ops import sort_utils
+
     cap = m.capacity
-    offs = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    dest = m.count + offs
-    ok = keep & (dest < cap)
-    dest = jnp.where(ok, dest, cap)  # scatter-drop sentinel
+    compacted, n_new = sort_utils.compact(
+        keep,
+        [pos.astype(jnp.float32), conf.astype(jnp.float32),
+         color.astype(jnp.float32), init_time.astype(jnp.float32),
+         last_seen.astype(jnp.float32), normal.astype(jnp.float32),
+         radius.astype(jnp.float32)],
+    )
+    packed, slices = sort_utils.pack_columns(compacted)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+    new_count = jnp.minimum(m.count + n_new, cap).astype(jnp.int32)
+    take_new = (slot >= m.count) & (slot < new_count)
+    src = jnp.clip(slot - m.count, 0, keep.shape[0] - 1)
+    # one row-gather moves all new-surfel fields at once
+    grows = packed[src]
+    cpos, cconf, ccol, cit, cls_, cnorm, crad = sort_utils.unpack_columns(
+        grows, slices)
 
-    def put(arr, vals):
-        return arr.at[dest].set(vals.astype(arr.dtype), mode="drop")
+    def merge(old, new):
+        mask = take_new if old.ndim == 1 else take_new[:, None]
+        return jnp.where(mask, new.astype(old.dtype), old)
 
-    new_count = jnp.minimum(
-        m.count + jnp.sum(keep.astype(jnp.int32)), cap
-    ).astype(jnp.int32)
     return SurfelMap(
-        pos=put(m.pos, pos),
-        conf=put(m.conf, conf),
-        color=put(m.color, color),
-        init_time=put(m.init_time, init_time),
-        last_seen=put(m.last_seen, last_seen),
-        normal=put(m.normal, normal),
-        radius=put(m.radius, radius),
+        pos=merge(m.pos, cpos),
+        conf=merge(m.conf, cconf),
+        color=merge(m.color, ccol),
+        init_time=merge(m.init_time, cit),
+        last_seen=merge(m.last_seen, cls_),
+        normal=merge(m.normal, cnorm),
+        radius=merge(m.radius, crad),
         count=new_count,
     )
 
@@ -159,6 +172,53 @@ def compact_self(m: SurfelMap, keep: jnp.ndarray) -> SurfelMap:
         empty(m.capacity), keep,
         m.pos, m.conf, m.color, m.init_time, m.last_seen, m.normal, m.radius,
     )
+
+
+def prefix_view(m: SurfelMap, bucket: int) -> SurfelMap:
+    """Static-shape prefix of the live region.  Surfels are kept compacted in
+    [0, count), so all per-surfel passes can run on a power-of-two bucket
+    >= count instead of the full capacity — the active-window compaction
+    strategy from SURVEY.md §5.7.  `bucket` must be static."""
+    if bucket >= m.capacity:
+        return m
+    return SurfelMap(
+        pos=m.pos[:bucket], conf=m.conf[:bucket], color=m.color[:bucket],
+        init_time=m.init_time[:bucket], last_seen=m.last_seen[:bucket],
+        normal=m.normal[:bucket], radius=m.radius[:bucket], count=m.count,
+    )
+
+
+def write_back(full: SurfelMap, pref: SurfelMap) -> SurfelMap:
+    """Merge a processed prefix back into the full-capacity buffers
+    (contiguous static-offset update; slots beyond the bucket are zeros by
+    the compaction invariant)."""
+    if pref.capacity >= full.capacity:
+        return pref
+
+    def put(f, p):
+        return jax.lax.dynamic_update_slice(
+            f, p.astype(f.dtype), (0,) * f.ndim)
+
+    return SurfelMap(
+        pos=put(full.pos, pref.pos), conf=put(full.conf, pref.conf),
+        color=put(full.color, pref.color),
+        init_time=put(full.init_time, pref.init_time),
+        last_seen=put(full.last_seen, pref.last_seen),
+        normal=put(full.normal, pref.normal),
+        radius=put(full.radius, pref.radius),
+        count=pref.count,
+    )
+
+
+def choose_bucket(count: int, capacity: int, headroom: int = 1 << 17,
+                  minimum: int = 1 << 18) -> int:
+    """Host-side bucket policy: next power of two covering count plus one
+    frame's worth of growth.  Few distinct values -> few recompiles."""
+    need = max(int(count * 1.25) + headroom, minimum)
+    b = minimum
+    while b < need:
+        b <<= 1
+    return min(b, capacity)
 
 
 def download(m: SurfelMap):

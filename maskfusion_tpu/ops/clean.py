@@ -19,13 +19,16 @@ import jax.numpy as jnp
 from maskfusion_tpu.camera import CameraIntrinsics
 from maskfusion_tpu.mapping import surfel_map as sm
 from maskfusion_tpu.mapping.surfel_map import SurfelMap
-from maskfusion_tpu.ops.fuse import half_pixel_taps, _tap_gather
+from maskfusion_tpu.ops.fuse import half_pixel_taps
 from maskfusion_tpu.ops.splat import IndexMap
 
 
 class CleanResult(NamedTuple):
     map: SurfelMap
     removed: jnp.ndarray  # () int32 — surfels culled this pass
+    keep: jnp.ndarray     # (capacity,) bool — survivors in PRE-compaction
+                          # slot space (lets prediction reuse the pre-clean
+                          # index map instead of a third render)
 
 
 def clean(
@@ -62,16 +65,26 @@ def clean(
         & (lz > 0) & (x > 0) & (y > 0) & (x < W) & (y < H)
     )
 
-    # --- free-space violation counts over the 16-tap window
-    #     (copy_unstable.vert:87-115) ---
+    # --- free-space violation counts over the window
+    #     (copy_unstable.vert:87-115): 9 unique taps with multiplicities
+    #     reproduce the reference's duplicate-counted 16 half-pixel samples;
+    #     one packed row-gather per tap ---
+    from maskfusion_tpu.ops import splat as splat_ops
+    from maskfusion_tpu.ops.fuse import half_pixel_taps_unique
+
+    packed = splat_ops.pack_index_fields(index_map)
+
     count = jnp.zeros((m.capacity,), jnp.int32)
     zcount = jnp.zeros((m.capacity,), jnp.int32)
-    for ty, tx in half_pixel_taps(x, y):
-        c_idx, in_img = _tap_gather(index_map.index, ty, tx)
-        c_pos, _ = _tap_gather(index_map.pos, ty, tx)
-        c_conf, _ = _tap_gather(index_map.conf, ty, tx)
-        c_it, _ = _tap_gather(index_map.init_time, ty, tx)
-        c_ls, _ = _tap_gather(index_map.last_seen, ty, tx)
+    for ty, tx, mult in half_pixel_taps_unique(x, y):
+        in_img = (ty >= 0) & (ty < H) & (tx >= 0) & (tx < W)
+        linp = jnp.clip(ty, 0, H - 1) * W + jnp.clip(tx, 0, W - 1)
+        rows = packed[linp]
+        c_idx = rows[:, 10].astype(jnp.int32)
+        c_pos = rows[:, 0:3]
+        c_conf = rows[:, 6]
+        c_it = rows[:, 8]
+        c_ls = rows[:, 9]
 
         base = in_view & in_img & (c_idx >= 0) & (c_conf > conf_threshold) & (
             c_pos[:, 2] > lz
@@ -83,8 +96,8 @@ def clean(
         c2 = base & (c_ls == time) & (c_pos[:, 2] - lz > 0.01) & (
             jnp.abs(ln[:, 2]) > 0.85
         )
-        count = count + c1.astype(jnp.int32)
-        zcount = zcount + c2.astype(jnp.int32)
+        count = count + jnp.where(c1, mult, 0)
+        zcount = zcount + jnp.where(c2, mult, 0)
 
     keep = jnp.ones((m.capacity,), bool)
     keep = keep & jnp.logical_not((count > 8) | (zcount > 4))
@@ -123,4 +136,4 @@ def clean(
     )
     out = sm.compact_self(cleaned, keep)
     removed = m.count - out.count
-    return CleanResult(map=out, removed=removed)
+    return CleanResult(map=out, removed=removed, keep=keep)

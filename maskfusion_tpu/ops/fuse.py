@@ -46,6 +46,26 @@ def half_pixel_taps(x: jnp.ndarray, y: jnp.ndarray):
     return taps
 
 
+def half_pixel_taps_unique(x: jnp.ndarray, y: jnp.ndarray):
+    """Deduplicated form of half_pixel_taps: the 16 half-pixel samples touch
+    at most 3 unique texels per axis — offsets (-1, 0, +1) around floor(x)
+    with per-axis multiplicities (2,2,0) when frac < 0.5 and (1,2,1)
+    otherwise.  Returns 9 (ty, tx, multiplicity) taps whose
+    multiplicity-weighted tests reproduce the duplicate-counted 16-tap loop
+    exactly, at 9/16 the gather cost."""
+    kx = jnp.floor(x).astype(jnp.int32)
+    ky = jnp.floor(y).astype(jnp.int32)
+    fx_lo = (x - jnp.floor(x)) < 0.5
+    fy_lo = (y - jnp.floor(y)) < 0.5
+    mx = [jnp.where(fx_lo, 2, 1), jnp.full_like(kx, 2), jnp.where(fx_lo, 0, 1)]
+    my = [jnp.where(fy_lo, 2, 1), jnp.full_like(ky, 2), jnp.where(fy_lo, 0, 1)]
+    taps = []
+    for iy, dy in enumerate((-1, 0, 1)):
+        for ix, dx in enumerate((-1, 0, 1)):
+            taps.append((ky + dy, kx + dx, my[iy] * mx[ix]))
+    return taps
+
+
 def _tap_gather(arr: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray):
     H, W = arr.shape[:2]
     ok = (ty >= 0) & (ty < H) & (tx >= 0) & (tx < W)
@@ -123,16 +143,24 @@ def fuse(
     lam = jnp.sqrt(xl * xl + yl * yl + 1.0)
     ray = jnp.stack([xl, yl, jnp.ones_like(xl)], axis=-1)
 
-    # association search over the 16-tap window
+    # association search over the window (9 unique taps; duplicates don't
+    # matter for an argmin).  One packed row-gather per tap.
+    from maskfusion_tpu.ops import splat as splat_ops
+
+    packed = splat_ops.pack_index_fields(index_map)
+
     best_dist = jnp.full((H, W), 1000.0, jnp.float32)
     best_slot = jnp.full((H, W), -1, jnp.int32)
     vnorm_l = nmap_filt
 
-    for ty, tx in half_pixel_taps(u, v):
-        c_idx, in_img = _tap_gather(index_map.index, ty, tx)
-        c_pos, _ = _tap_gather(index_map.pos, ty, tx)
-        c_nr, _ = _tap_gather(index_map.normal, ty, tx)
-        c_rad, _ = _tap_gather(index_map.radius, ty, tx)
+    for ty, tx, _mult in half_pixel_taps_unique(u, v):
+        in_img = (ty >= 0) & (ty < H) & (tx >= 0) & (tx < W)
+        linp = jnp.clip(ty, 0, H - 1) * W + jnp.clip(tx, 0, W - 1)
+        rows = packed[linp]
+        c_idx = rows[..., 10].astype(jnp.int32)
+        c_pos = rows[..., 0:3]
+        c_nr = rows[..., 3:6]
+        c_rad = rows[..., 7]
 
         zdiff = c_pos[..., 2] - z_raw
         z_ok = jnp.abs(zdiff * lam) < merge_z_thresh
@@ -161,23 +189,23 @@ def fuse(
     norm_w = jnp.einsum("hwi,ji->hwj", nmap_filt, R, precision="highest")
     col = rgb.astype(jnp.float32)
 
-    # ---- pass 2: scatter-add weighted contributions, then merge ----
+    # ---- pass 2: per-surfel weighted sums (scatter-free segment sums:
+    #      sort + cumsum + boundary diff, ops/sort_utils), then merge ----
+    from maskfusion_tpu.ops import sort_utils
+
     cap = m.capacity
-    slot_flat = jnp.where(matched, best_slot, cap).reshape(-1)  # cap = drop
-    a = jnp.where(matched, conf_px, 0.0).reshape(-1)
+    slot_flat = best_slot.reshape(-1)
+    matched_flat = matched.reshape(-1)
+    a_px = conf_px.reshape(-1)
 
-    def acc(vals, width=None):
-        buf = jnp.zeros((cap,) if width is None else (cap, width), jnp.float32)
-        if width is None:
-            return buf.at[slot_flat].add(vals.reshape(-1), mode="drop")
-        return buf.at[slot_flat].add(vals.reshape(-1, width) * a[:, None], mode="drop")
-
-    sum_a = acc(a)
-    sum_pos = acc(pos_w, 3)
-    sum_col = acc(col, 3)
-    sum_norm = acc(norm_w, 3)
-    sum_rad = jnp.zeros((cap,), jnp.float32).at[slot_flat].add(
-        (jnp.where(matched, conf_px * rad_px, 0.0)).reshape(-1), mode="drop"
+    sum_a, sum_pos, sum_col, sum_norm, sum_rad = sort_utils.segment_sum_dense(
+        slot_flat, matched_flat,
+        [a_px,
+         pos_w.reshape(-1, 3) * a_px[:, None],
+         col.reshape(-1, 3) * a_px[:, None],
+         norm_w.reshape(-1, 3) * a_px[:, None],
+         rad_px.reshape(-1) * a_px],
+        cap,
     )
 
     has_update = sum_a > 0

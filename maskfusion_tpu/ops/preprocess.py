@@ -64,28 +64,24 @@ def bilateral_filter_depth(
     as in the reference.
     """
     depth = depth.astype(jnp.float32)
-    offs = [(dy, dx) for dy in range(-radius, radius + 1)
-            for dx in range(-radius, radius + 1)]
-    offs_arr = jnp.array(offs, dtype=jnp.int32)
-
     padded = jnp.pad(depth, radius, constant_values=jnp.inf)
+    H, W = depth.shape
 
-    def body(carry, off):
-        sum1, sum2 = carry
-        dy, dx = off[0], off[1]
-        nb = jax.lax.dynamic_slice(
-            padded, (radius + dy, radius + dx), depth.shape
-        )
-        space2 = (dy * dy + dx * dx).astype(jnp.float32)
-        color2 = (depth - nb) ** 2
-        w = jnp.exp(-(space2 * sigma_space2_inv_half + color2 * sigma_color2_inv_half))
-        w = jnp.where(jnp.isfinite(nb), w, 0.0)
-        nb0 = jnp.where(jnp.isfinite(nb), nb, 0.0)
-        return (sum1 + nb0 * w, sum2 + w), None
-
-    (sum1, sum2), _ = jax.lax.scan(
-        body, (jnp.zeros_like(depth), jnp.zeros_like(depth)), offs_arr
-    )
+    # static unrolled window: XLA fuses the (2R+1)^2 shifted taps into one
+    # elementwise kernel (a lax.scan here costs one launch per tap on TPU)
+    sum1 = jnp.zeros_like(depth)
+    sum2 = jnp.zeros_like(depth)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            nb = padded[radius + dy: radius + dy + H,
+                        radius + dx: radius + dx + W]
+            space2 = float(dy * dy + dx * dx)
+            color2 = (depth - nb) ** 2
+            w = jnp.exp(-(space2 * sigma_space2_inv_half
+                          + color2 * sigma_color2_inv_half))
+            ok = jnp.isfinite(nb)
+            sum1 = sum1 + jnp.where(ok, nb * w, 0.0)
+            sum2 = sum2 + jnp.where(ok, w, 0.0)
     out = sum1 / jnp.maximum(sum2, 1e-20)
     return jnp.where(depth <= min_valid_depth, 0.0, out)
 
@@ -97,23 +93,41 @@ def bilateral_filter_depth(
 _BINOMIAL5 = (1.0, 4.0, 6.0, 4.0, 1.0)
 
 
+def _separable_masked_blur(vals: jnp.ndarray, valid: jnp.ndarray):
+    """5-tap binomial blur of (valid*vals) and valid, separably — 10
+    contiguous shifted adds instead of 25 strided taps (lane-strided loads
+    are slow on TPU; one [::2, ::2] subsample at the end is cheap)."""
+    H, W = vals.shape
+    v = jnp.where(valid, vals, 0.0)
+    wsum = valid.astype(jnp.float32)
+
+    def blur_axis(a, axis):
+        pad = [(2, 2), (0, 0)] if axis == 0 else [(0, 0), (2, 2)]
+        p = jnp.pad(a, pad, constant_values=0.0)
+        out = jnp.zeros_like(a)
+        for k, wk in enumerate(_BINOMIAL5):
+            if axis == 0:
+                out = out + wk * p[k:k + H, :]
+            else:
+                out = out + wk * p[:, k:k + W]
+        return out
+
+    v = blur_axis(blur_axis(v, 0), 1)
+    wsum = blur_axis(blur_axis(wsum, 0), 1)
+    return v, wsum
+
+
 def pyr_down_gauss_depth(src: jnp.ndarray) -> jnp.ndarray:
     """Half-resolution 5x5 binomial downsample of float depth, skipping NaN
     taps and renormalising (ref pyrDownKernelGaussF, cudafuncs.cu:333-364).
     Zero-depth (invalid) taps are excluded like NaNs so holes do not bleed."""
     H, W = src.shape
     h, w = H // 2, W // 2
-    sum_v = jnp.zeros((h, w), jnp.float32)
-    sum_w = jnp.zeros((h, w), jnp.float32)
-    padded = jnp.pad(src.astype(jnp.float32), 2, constant_values=_NAN)
-    for dy in range(-2, 3):
-        wy = _BINOMIAL5[dy + 2]
-        for dx in range(-2, 3):
-            wx = _BINOMIAL5[dx + 2]
-            tap = padded[2 + dy: 2 + dy + H: 2, 2 + dx: 2 + dx + W: 2][:h, :w]
-            valid = jnp.isfinite(tap) & (tap > 0)
-            sum_v = sum_v + jnp.where(valid, tap, 0.0) * (wy * wx)
-            sum_w = sum_w + jnp.where(valid, wy * wx, 0.0)
+    srcf = src.astype(jnp.float32)
+    valid = jnp.isfinite(srcf) & (srcf > 0)
+    sum_v, sum_w = _separable_masked_blur(srcf, valid)
+    sum_v = sum_v[0:2 * h:2, 0:2 * w:2]
+    sum_w = sum_w[0:2 * h:2, 0:2 * w:2]
     out = sum_v / jnp.maximum(sum_w, 1e-20)
     return jnp.where(sum_w > 0, out, 0.0)
 
@@ -125,17 +139,9 @@ def pyr_down_uchar_gauss(src: jnp.ndarray) -> jnp.ndarray:
     H, W = src.shape
     h, w = H // 2, W // 2
     srcf = src.astype(jnp.float32)
-    sum_v = jnp.zeros((h, w), jnp.float32)
-    sum_w = jnp.zeros((h, w), jnp.float32)
-    padded = jnp.pad(srcf, 2, constant_values=0.0)
-    for dy in range(-2, 3):
-        wy = _BINOMIAL5[dy + 2]
-        for dx in range(-2, 3):
-            wx = _BINOMIAL5[dx + 2]
-            tap = padded[2 + dy: 2 + dy + H: 2, 2 + dx: 2 + dx + W: 2][:h, :w]
-            valid = tap > 0
-            sum_v = sum_v + jnp.where(valid, tap, 0.0) * (wy * wx)
-            sum_w = sum_w + jnp.where(valid, wy * wx, 0.0)
+    sum_v, sum_w = _separable_masked_blur(srcf, srcf > 0)
+    sum_v = sum_v[0:2 * h:2, 0:2 * w:2]
+    sum_w = sum_w[0:2 * h:2, 0:2 * w:2]
     out = sum_v / jnp.maximum(sum_w, 1e-20)
     return out.astype(src.dtype)
 

@@ -89,40 +89,60 @@ def render_index_map(
     if max_time is not None:
         ok = ok & (m.last_seen <= max_time)
 
-    lin = jnp.where(ok, vi * width + ui, height * width)  # sentinel slot
+    lin = vi * width + ui
 
-    # pass 1: nearest depth per pixel
-    zbuf = jnp.full((height * width + 1,), jnp.inf, jnp.float32)
-    zbuf = zbuf.at[lin].min(jnp.where(ok, z, jnp.inf))
-    # pass 2: among depth winners, lowest slot id wins (deterministic)
-    won = ok & (z <= zbuf[lin])
-    slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
-    ibuf = jnp.full((height * width + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
-    ibuf = ibuf.at[lin].min(jnp.where(won, slot, jnp.iinfo(jnp.int32).max))
+    # scatter-free z-buffer: lexicographic sort + first-of-segment lookup
+    # (ops/sort_utils.zbuffer_render; ties break to the lowest slot)
+    from maskfusion_tpu.ops import sort_utils
 
-    idx = ibuf[: height * width]
-    empty = idx == jnp.iinfo(jnp.int32).max
-    idx = jnp.where(empty, -1, idx)
+    idx, win_z = sort_utils.zbuffer_render(lin, z, ok, height * width)
+    empty = idx < 0
     safe = jnp.where(empty, 0, idx)
 
-    def g(arr):
-        out = arr[safe]
-        zero = jnp.zeros((), arr.dtype)
-        if arr.ndim == 1:
-            return jnp.where(empty, zero, out).reshape(height, width)
-        return jnp.where(empty[:, None], zero, out).reshape(height, width, arr.shape[1])
+    # one packed row-gather for all winner fields
+    packed, slices = sort_utils.pack_columns(
+        [p_cam, m.conf, m.color, m.init_time, m.last_seen, n_cam, m.radius])
+    rows = jnp.where(empty[:, None], 0.0, packed[safe])
+    pos_w, conf_w, col_w, it_w, ls_w, n_w, rad_w = sort_utils.unpack_columns(
+        rows, slices)
+
+    def im2(a):
+        return a.reshape(height, width)
+
+    def im3(a):
+        return a.reshape(height, width, a.shape[1])
 
     return IndexMap(
         index=idx.reshape(height, width),
-        pos=g(p_cam),
-        conf=g(m.conf),
-        color=g(m.color),
-        init_time=g(m.init_time),
-        last_seen=g(m.last_seen),
-        normal=g(n_cam),
-        radius=g(m.radius),
-        depth=jnp.where(empty, jnp.inf, zbuf[: height * width]).reshape(height, width),
+        pos=im3(pos_w),
+        conf=im2(conf_w),
+        color=im3(col_w),
+        init_time=im2(it_w),
+        last_seen=im2(ls_w),
+        normal=im3(n_w),
+        radius=im2(rad_w),
+        depth=win_z.reshape(height, width),
     )
+
+
+def pack_index_fields(im: IndexMap) -> jnp.ndarray:
+    """(H*W, 12) row table [pos(3), normal(3), conf, radius, init_time,
+    last_seen, slot_index, pad] so window sampling costs ONE row-gather per
+    tap instead of six scalar gathers (TPU random gathers are slow; rows
+    amortise).  The slot index rides as float32 — exact up to 2^24, far
+    above any surfel capacity in use."""
+    H, W = im.index.shape
+    n = H * W
+    return jnp.concatenate([
+        im.pos.reshape(n, 3),
+        im.normal.reshape(n, 3),
+        im.conf.reshape(n, 1),
+        im.radius.reshape(n, 1),
+        im.init_time.reshape(n, 1),
+        im.last_seen.reshape(n, 1),
+        im.index.reshape(n, 1).astype(jnp.float32),
+        jnp.zeros((n, 1), jnp.float32),
+    ], axis=1)
 
 
 class Prediction(NamedTuple):
