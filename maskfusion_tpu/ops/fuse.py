@@ -143,26 +143,31 @@ def fuse(
     lam = jnp.sqrt(xl * xl + yl * yl + 1.0)
     ray = jnp.stack([xl, yl, jnp.ones_like(xl)], axis=-1)
 
-    # association search over the window (9 unique taps; duplicates don't
-    # matter for an argmin).  One packed row-gather per tap.
-    from maskfusion_tpu.ops import splat as splat_ops
-
-    packed = splat_ops.pack_index_fields(index_map)
-
+    # association search over the window.  The query coordinates are the
+    # pixel CENTERS (uv = (i+0.5)/W, Model.cpp:177-183), so the reference's
+    # 16 half-pixel taps (data.vert:139-161) touch exactly the 3x3 texel
+    # neighbourhood — static offsets, pure shifted slices, no gathers.
     best_dist = jnp.full((H, W), 1000.0, jnp.float32)
     best_slot = jnp.full((H, W), -1, jnp.int32)
     vnorm_l = nmap_filt
 
-    for ty, tx, _mult in half_pixel_taps_unique(u, v):
-        in_img = (ty >= 0) & (ty < H) & (tx >= 0) & (tx < W)
-        linp = jnp.clip(ty, 0, H - 1) * W + jnp.clip(tx, 0, W - 1)
-        rows = packed[linp]
-        c_idx = rows[..., 10].astype(jnp.int32)
-        c_pos = rows[..., 0:3]
-        c_nr = rows[..., 3:6]
-        c_rad = rows[..., 7]
+    def shift2(arr, dy, dx):
+        pad = [(max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx))]
+        pad += [(0, 0)] * (arr.ndim - 2)
+        p = jnp.pad(arr, pad, constant_values=0)
+        return p[max(0, dy):max(0, dy) + H, max(0, dx):max(0, dx) + W]
 
-        zdiff = c_pos[..., 2] - z_raw
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            c_idx = shift2(index_map.index, dy, dx)
+            c_idx = jnp.where(
+                shift2(jnp.ones((H, W), jnp.int32), dy, dx) > 0, c_idx, -1)
+            c_pos = shift2(index_map.pos, dy, dx)
+            c_nr = shift2(index_map.normal, dy, dx)
+            c_rad = shift2(index_map.radius, dy, dx)
+            in_img = jnp.ones((H, W), bool)
+
+            zdiff = c_pos[..., 2] - z_raw
         z_ok = jnp.abs(zdiff * lam) < merge_z_thresh
         dist = jnp.linalg.norm(jnp.cross(ray, c_pos), axis=-1)
         # normal conformance (data.vert:150-153)

@@ -84,8 +84,14 @@ def icp_step(
         (u_proj >= 0) & (v_proj >= 0) & (u_proj < W) & (v_proj < H) & (z >= 0)
     )
 
-    vprev_g = _gather2d(vmap_g_prev, v_proj, u_proj)
-    nprev_g = _gather2d(nmap_g_prev, v_proj, u_proj)
+    # one 6-wide row-gather instead of two 3-wide (TPU gathers amortise
+    # over row width; random-gather throughput is the iteration bottleneck)
+    vn_packed = jnp.concatenate(
+        [vmap_g_prev.reshape(-1, 3), nmap_g_prev.reshape(-1, 3)], axis=1
+    ).reshape(H, W, 6)
+    vn = _gather2d(vn_packed, v_proj, u_proj)
+    vprev_g = vn[:, 0:3]
+    nprev_g = vn[:, 3:6]
 
     n_g = n @ R_curr.T
     dist = jnp.linalg.norm(vprev_g - v_g, axis=-1)
@@ -126,6 +132,7 @@ class RGBCorrespondences(NamedTuple):
     valid: jnp.ndarray   # (H, W) bool
     u0: jnp.ndarray      # (H, W) int32 — matched pixel in last image
     v0: jnp.ndarray      # (H, W) int32
+    d0: jnp.ndarray      # (H, W) float32 — last depth at the match
     diff: jnp.ndarray    # (H, W) float32 — next - last intensity
     sigma_sum: jnp.ndarray  # scalar sum of diff^2 over valid
     count: jnp.ndarray      # scalar valid count (float32)
@@ -181,18 +188,23 @@ def compute_rgb_residual(
     v0 = jnp.round(v0f).astype(jnp.int32)
     in_b = (u0 >= 0) & (v0 >= 0) & (u0 < W) & (v0 < H)
 
-    d0 = _gather2d(last_depth, v0.reshape(-1), u0.reshape(-1)).reshape(H, W)
-    li = _gather2d(last_image, v0.reshape(-1), u0.reshape(-1)).reshape(H, W)
+    # one 2-wide row-gather for (depth, intensity) at the warped pixel
+    di_packed = jnp.stack(
+        [last_depth, last_image.astype(jnp.float32)], axis=-1)
+    di = _gather2d(di_packed, v0.reshape(-1), u0.reshape(-1)).reshape(H, W, 2)
+    d0 = di[..., 0]
+    li = di[..., 1]
 
     depth_ok = (d0 > 0) & (jnp.abs(td1 - d0) <= max_depth_delta) & (li != 0)
     valid = ok & interior & has_grad & d1_ok & in_b & depth_ok
 
-    diff = next_image.astype(jnp.float32) - li.astype(jnp.float32)
+    diff = next_image.astype(jnp.float32) - li
     diff = jnp.where(valid, diff, 0.0)
     return RGBCorrespondences(
         valid=valid,
         u0=u0,
         v0=v0,
+        d0=jnp.where(valid, d0, 0.0),
         diff=diff,
         sigma_sum=jnp.sum(diff * diff),
         count=jnp.sum(valid.astype(jnp.float32)),
@@ -202,9 +214,7 @@ def compute_rgb_residual(
 def rgb_step(
     corres: RGBCorrespondences,
     sigma: jnp.ndarray,
-    cloud: jnp.ndarray,
-    fx: float,
-    fy: float,
+    intr: CameraIntrinsics,
     didx: jnp.ndarray,
     didy: jnp.ndarray,
     sobel_scale: float,
@@ -212,8 +222,13 @@ def rgb_step(
     """Photometric GN term from correspondences (RGBReduction,
     reduce.cu:547-630).  `sigma` follows the reference driver's convention
     (RGBDOdometry.cpp:389-401): the valid-count, 1 when error is zero, or -1
-    to signal even weighting (rgb-only tracking)."""
+    to signal even weighting (rgb-only tracking).
+
+    The reference gathers the matched pixel's cloud point from a
+    projectToPointCloud buffer (reduce.cu:570-572); back-projecting the
+    already-gathered depth analytically removes that gather entirely."""
     H, W = corres.valid.shape
+    fx, fy = intr.fx, intr.fy
     valid = corres.valid.reshape(-1)
     diff = corres.diff.reshape(-1)
 
@@ -221,11 +236,15 @@ def rgb_step(
     w = jnp.where(w > 1.1920929e-07, 1.0 / w, 1.0)
     w = jnp.where(sigma == -1.0, 1.0, w)
 
-    # cloud point at the matched *last* pixel (corres.zero)
-    u0 = corres.u0.reshape(-1)
-    v0 = corres.v0.reshape(-1)
-    cp = _gather2d(cloud, v0, u0)
-    z = cp[:, 2]
+    # cloud point at the matched *last* pixel, from its gathered depth
+    u0 = corres.u0.reshape(-1).astype(jnp.float32)
+    v0 = corres.v0.reshape(-1).astype(jnp.float32)
+    z = corres.d0.reshape(-1)
+    cp = jnp.stack([
+        (u0 - intr.cx) * z / fx,
+        (v0 - intr.cy) * z / fy,
+        z,
+    ], axis=-1)
     invz = jnp.where(z != 0, 1.0 / z, 0.0)
 
     # gradient at the *next* pixel (corres.one == the pixel itself)

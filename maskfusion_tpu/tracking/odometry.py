@@ -282,17 +282,8 @@ def get_incremental_transformation(
         il = intr.level(lvl)
         min_scale = (min_grad_magnitudes[lvl] ** 2) / (sobel_scale ** 2)
 
-        cloud = (
-            pp.project_to_pointcloud(
-                jnp.where(jnp.isfinite(model.depths[lvl]), model.depths[lvl], 0.0),
-                il,
-            )
-            if use_rgb
-            else None
-        )
-
         def body(j, carry, lvl=lvl, Kj=Kj, K_invj=K_invj, il=il,
-                 min_scale=min_scale, cloud=cloud):
+                 min_scale=min_scale):
             (result_rt, t_curr, R_curr, last_rgb_error, lastA, lastb,
              icp_error, icp_count, rgb_error, rgb_count, done) = carry
 
@@ -340,7 +331,7 @@ def get_incremental_transformation(
 
             if use_rgb:
                 rgb_term = red.rgb_step(
-                    corres, sigma_val, cloud, il.fx, il.fy,
+                    corres, sigma_val, il,
                     didx[lvl], didy[lvl], sobel_scale,
                 )
 
