@@ -69,10 +69,18 @@ def clean(
     #     (copy_unstable.vert:87-115): 9 unique taps with multiplicities
     #     reproduce the reference's duplicate-counted 16 half-pixel samples;
     #     one packed row-gather per tap ---
-    from maskfusion_tpu.ops import splat as splat_ops
     from maskfusion_tpu.ops.fuse import half_pixel_taps_unique
 
-    packed = splat_ops.pack_index_fields(index_map)
+    # lean 8-wide row table: only the fields the violation tests read
+    n_px = H * W
+    packed = jnp.concatenate([
+        index_map.pos.reshape(n_px, 3),
+        index_map.conf.reshape(n_px, 1),
+        index_map.init_time.reshape(n_px, 1),
+        index_map.last_seen.reshape(n_px, 1),
+        index_map.index.reshape(n_px, 1).astype(jnp.float32),
+        jnp.zeros((n_px, 1), jnp.float32),
+    ], axis=1)
 
     count = jnp.zeros((m.capacity,), jnp.int32)
     zcount = jnp.zeros((m.capacity,), jnp.int32)
@@ -80,11 +88,11 @@ def clean(
         in_img = (ty >= 0) & (ty < H) & (tx >= 0) & (tx < W)
         linp = jnp.clip(ty, 0, H - 1) * W + jnp.clip(tx, 0, W - 1)
         rows = packed[linp]
-        c_idx = rows[:, 10].astype(jnp.int32)
+        c_idx = rows[:, 6].astype(jnp.int32)
         c_pos = rows[:, 0:3]
-        c_conf = rows[:, 6]
-        c_it = rows[:, 8]
-        c_ls = rows[:, 9]
+        c_conf = rows[:, 3]
+        c_it = rows[:, 4]
+        c_ls = rows[:, 5]
 
         base = in_view & in_img & (c_idx >= 0) & (c_conf > conf_threshold) & (
             c_pos[:, 2] > lz
