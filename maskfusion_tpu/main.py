@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--global-capacity", type=int, default=1 << 22)
     p.add_argument("--object-capacity", type=int, default=1 << 19)
     p.add_argument("--max-frames", type=int, help="alias for -e")
+    p.add_argument("--nn", dest="embedded_nn", action="store_true",
+                   help="run the embedded JAX Mask R-CNN asynchronously for "
+                        "frames without precomputed masks")
+    p.add_argument("--toml", dest="toml_config",
+                   help="config.toml with class_names/filter_classes/"
+                        "score_threshold/trackable_classes")
     return p
 
 
@@ -192,6 +198,31 @@ def main(argv=None):
     reader = make_reader(args, res)
     gt = GroundTruthOdometry(args.trajectory) if args.trajectory else None
 
+    # toml class config (MainController.cpp:269-287)
+    if args.toml_config:
+        from maskfusion_tpu.maskrcnn.inference import load_toml_config
+
+        tc = load_toml_config(args.toml_config)
+        cfg.score_threshold = tc["score_threshold"]
+        cfg.filter_classes = tc["filter_classes"] or None
+        cfg.trackable_classes = tc["trackable_classes"] or None
+
+    # async Mask R-CNN worker + frame delay-queue (MaskRCNN.cpp:178-208,
+    # MaskFusion.cpp:206-209) for frames without precomputed masks
+    nn_queue = nn_worker = None
+    if args.embedded_nn and not reader.has_masks():
+        from maskfusion_tpu.maskrcnn.inference import (
+            FrameQueue, MaskRCNNInference, MaskRCNNWorker,
+        )
+        from maskfusion_tpu.maskrcnn.model import MaskRCNNConfig
+
+        inference = MaskRCNNInference(
+            MaskRCNNConfig(score_threshold=cfg.score_threshold),
+            filter_classes=cfg.filter_classes,
+        )
+        nn_queue = FrameQueue(cfg.frame_queue_size)
+        nn_worker = MaskRCNNWorker(inference, nn_queue)
+
     if args.start_frame:
         reader.fast_forward(args.start_frame)
 
@@ -220,6 +251,16 @@ def main(argv=None):
     while pending is not None:
         frame = pending
         pending = reader.get_next() if reader.has_more() else None
+        if nn_queue is not None:
+            # delay-queue semantics: consume frames only once labelled
+            # (or the queue overflows)
+            nn_queue.push(frame)
+            frame = nn_queue.pop_ready()
+            while frame is None and len(nn_queue):
+                time.sleep(0.002)
+                frame = nn_queue.pop_ready()
+            if frame is None:
+                continue
         if cfg.end_frame is not None and frame.index >= cfg.end_frame:
             break
         gt_pose = gt.get_pose(frame.timestamp) if gt else None
@@ -239,12 +280,32 @@ def main(argv=None):
             if cfg.export_normals:
                 nmap = np.asarray(engine.models[0].state.pred_nmap)
                 ex.export_normal_image(cfg.export_dir, engine.tick, nmap)
+            if cfg.export_viewport:
+                from maskfusion_tpu import viewer
+
+                viewer.save_viewport(
+                    engine,
+                    os.path.join(cfg.export_dir,
+                                 f"Viewport{engine.tick}.png"))
         # real-time governor (-fs; MainController.cpp:487-489)
         if cfg.frame_skip:
             skip = engine.stopwatch.should_skip_frames(budget_ms)
             for _ in range(skip):
                 if reader.has_more():
                     reader.get_next()
+
+    if nn_queue is not None:
+        # drain the queue at end of log
+        frame = nn_queue.pop_ready()
+        while frame is not None or len(nn_queue):
+            if frame is not None:
+                gt_pose = gt.get_pose(frame.timestamp) if gt else None
+                engine.process_frame(frame, gt_pose=gt_pose)
+                n += 1
+            else:
+                time.sleep(0.002)
+            frame = nn_queue.pop_ready()
+        nn_worker.stop()
 
     elapsed = time.perf_counter() - t_start
     fps = n / elapsed if elapsed > 0 else 0.0

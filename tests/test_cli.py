@@ -57,3 +57,30 @@ def test_cli_precomputed_multimodel(tmp_path):
     assert (out / "poses-1.txt").exists()
     assert (out / "Segmentation3.png").exists()
     assert (out / "Labels3.png").exists()
+
+
+def test_viewer_and_viewport_export(tmp_path):
+    import numpy as np
+    from maskfusion_tpu.camera import Resolution
+    from maskfusion_tpu.config import Config
+    from maskfusion_tpu.engine import MaskFusion
+    from maskfusion_tpu.frame import FrameData
+    from maskfusion_tpu import viewer
+
+    cfg = Config(global_surfel_capacity=1 << 16, static_mode=True,
+                 use_so3=False)
+    eng = MaskFusion(Resolution(syn.W, syn.H), syn.DEFAULT_INTR, cfg)
+    pts, cols = syn.make_scene()
+    rgb, depth = syn.render(pts, cols, np.eye(4), syn.DEFAULT_INTR)
+    eng.process_frame(FrameData(rgb=rgb, depth=depth))
+    eng.process_frame(FrameData(rgb=rgb, depth=depth))
+
+    # novel-view render of the map
+    pose = syn.pose_from(np.array([0, 0.05, 0]), np.array([0.05, 0, -0.1]))
+    view = viewer.render_map_view(eng.models[0].state.map, pose,
+                                  syn.DEFAULT_INTR, syn.W, syn.H)
+    assert view["rgb"].shape == (syn.H, syn.W, 3)
+    assert (view["depth"] > 0).mean() > 0.5  # most of the map visible
+    p = viewer.save_viewport(eng, str(tmp_path / "vp.png"))
+    import os
+    assert os.path.getsize(p) > 1000

@@ -182,3 +182,44 @@ def test_exr_multichannel(tmp_path):
         np.testing.assert_allclose(back[c], chans[c], atol=1e-7)
     # reference depth convention: first channel of RGB float images
     np.testing.assert_allclose(read_exr_depth(p), chans["R"], atol=1e-7)
+
+
+def test_checkpoint_resume(tmp_path):
+    """Save mid-run, restore into a fresh engine, continue — trajectories
+    must match a run without the interruption."""
+    import jax.numpy as jnp
+    from maskfusion_tpu.camera import Resolution
+    from maskfusion_tpu.config import Config
+    from maskfusion_tpu.engine import MaskFusion
+    from maskfusion_tpu.io import checkpoint
+
+    cfg = Config(global_surfel_capacity=1 << 16, static_mode=True,
+                 use_so3=False, relocalisation=True, close_loops=True)
+
+    def make():
+        return MaskFusion(Resolution(syn.W, syn.H), syn.DEFAULT_INTR, cfg)
+
+    pts, cols = syn.make_scene()
+    def frame(i):
+        pose = syn.pose_from(np.zeros(3), np.array([0.004 * i, 0, 0]))
+        rgb, depth = syn.render(pts, cols, pose, syn.DEFAULT_INTR)
+        return FrameData(rgb=rgb, depth=depth, timestamp=float(i))
+
+    a = make()
+    for i in range(3):
+        a.process_frame(frame(i))
+    checkpoint.save(a, str(tmp_path / "ckpt"))
+
+    b = make()
+    checkpoint.load(b, str(tmp_path / "ckpt"))
+    assert b.tick == a.tick
+    assert b.global_model.surfel_count == a.global_model.surfel_count
+    assert len(b.ferns.frames) == len(a.ferns.frames)
+    np.testing.assert_allclose(b.current_pose, a.current_pose, atol=1e-6)
+
+    # both continue identically
+    for i in range(3, 5):
+        da = a.process_frame(frame(i))
+        db = b.process_frame(frame(i))
+    np.testing.assert_allclose(a.current_pose, b.current_pose, atol=1e-5)
+    assert a.global_model.surfel_count == b.global_model.surfel_count
