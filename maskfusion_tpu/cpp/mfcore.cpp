@@ -1,0 +1,147 @@
+// Native host-side runtime for maskfusion_tpu.
+//
+// The reference keeps its per-frame label logic on the CPU
+// (cv::connectedComponentsWithStats + the edge-reassignment loop,
+// MfSegmentation.cpp:239-291) and decodes klg logs with zlib/libjpeg
+// (KlgLogReader.cpp).  These are the host hot paths of our pipeline too, so
+// they are implemented natively and exposed over a plain C ABI for ctypes.
+//
+// Build: make -C maskfusion_tpu/cpp   (produces libmfcore.so)
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+struct UnionFind {
+  std::vector<int32_t> parent;
+  explicit UnionFind(size_t n) : parent(n) {
+    for (size_t i = 0; i < n; ++i) parent[i] = static_cast<int32_t>(i);
+  }
+  int32_t find(int32_t x) {
+    int32_t root = x;
+    while (parent[root] != root) root = parent[root];
+    while (parent[x] != root) {
+      int32_t next = parent[x];
+      parent[x] = root;
+      x = next;
+    }
+    return root;
+  }
+  void unite(int32_t a, int32_t b) {
+    a = find(a);
+    b = find(b);
+    if (a == b) return;
+    if (a < b) parent[b] = a; else parent[a] = b;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// 4-connected components over a binary mask.
+// labels_out: h*w int32 (0 = background), sizes_out: max_comp int32,
+// bboxes_out: max_comp * 4 int32 (top, left, bottom, right; inclusive).
+// Returns the number of components + 1 (index 0 = background), or -1 if
+// more than max_comp components exist.
+int32_t mf_connected_components(const uint8_t* binary, int32_t h, int32_t w,
+                                int32_t* labels_out, int32_t* sizes_out,
+                                int32_t* bboxes_out, int32_t max_comp) {
+  const size_t n = static_cast<size_t>(h) * w;
+  UnionFind uf(n);
+  for (int32_t y = 0; y < h; ++y) {
+    const uint8_t* row = binary + static_cast<size_t>(y) * w;
+    for (int32_t x = 0; x < w; ++x) {
+      if (!row[x]) continue;
+      const size_t i = static_cast<size_t>(y) * w + x;
+      if (x > 0 && row[x - 1]) uf.unite(static_cast<int32_t>(i), static_cast<int32_t>(i - 1));
+      if (y > 0 && binary[i - w]) uf.unite(static_cast<int32_t>(i), static_cast<int32_t>(i - w));
+    }
+  }
+  // assign compact labels in scan order (matches scipy.ndimage.label)
+  std::vector<int32_t> root_label(n, 0);
+  int32_t next = 1;
+  for (size_t i = 0; i < n; ++i) {
+    if (!binary[i]) { labels_out[i] = 0; continue; }
+    int32_t r = uf.find(static_cast<int32_t>(i));
+    if (root_label[r] == 0) {
+      if (next >= max_comp) return -1;
+      root_label[r] = next++;
+    }
+    labels_out[i] = root_label[r];
+  }
+  std::memset(sizes_out, 0, sizeof(int32_t) * max_comp);
+  for (int32_t c = 0; c < max_comp; ++c) {
+    bboxes_out[c * 4 + 0] = h; bboxes_out[c * 4 + 1] = w;
+    bboxes_out[c * 4 + 2] = -1; bboxes_out[c * 4 + 3] = -1;
+  }
+  for (int32_t y = 0; y < h; ++y) {
+    for (int32_t x = 0; x < w; ++x) {
+      const int32_t l = labels_out[static_cast<size_t>(y) * w + x];
+      sizes_out[l] += 1;
+      int32_t* bb = bboxes_out + l * 4;
+      if (y < bb[0]) bb[0] = y;
+      if (x < bb[1]) bb[1] = x;
+      if (y > bb[2]) bb[2] = y;
+      if (x > bb[3]) bb[3] = x;
+    }
+  }
+  return next;
+}
+
+// Edge-pixel reassignment by depth continuity (MfSegmentation.cpp:243-291):
+// `iters` synchronous rounds; a pixel labelled 0 or in a tiny component
+// adopts the first 8-neighbour (fixed priority order) whose ORIGINAL
+// component is big enough and whose depth is within `delta`.
+void mf_reassign_edges(int32_t* labels, const float* depth,
+                       const int32_t* sizes, int32_t h, int32_t w,
+                       int32_t iters, float delta, int32_t small_thresh) {
+  const size_t n = static_cast<size_t>(h) * w;
+  std::vector<int32_t> buf(n);
+  static const int off[8][2] = {{-1, -1}, {-1, 0}, {-1, 1}, {0, -1},
+                                {0, 1},  {1, -1}, {1, 0},  {1, 1}};
+  for (int32_t it = 0; it < iters; ++it) {
+    std::memcpy(buf.data(), labels, sizeof(int32_t) * n);
+    bool changed = false;
+    for (int32_t y = 1; y < h - 1; ++y) {
+      for (int32_t x = 1; x < w - 1; ++x) {
+        const size_t i = static_cast<size_t>(y) * w + x;
+        const int32_t c = buf[i];
+        if (c != 0 && sizes[c] >= small_thresh) continue;
+        const float d = depth[i];
+        for (const auto& o : off) {
+          const size_t j = static_cast<size_t>(y + o[0]) * w + (x + o[1]);
+          const int32_t cn = labels[j];
+          if (cn != 0 && sizes[cn] > small_thresh &&
+              __builtin_fabsf(depth[j] - d) < delta) {
+            buf[i] = cn;
+            changed = true;
+            break;
+          }
+        }
+      }
+    }
+    std::memcpy(labels, buf.data(), sizeof(int32_t) * n);
+    if (!changed) break;
+  }
+}
+
+// zlib inflate for klg depth payloads (KlgLogReader.cpp:66-69).
+// Returns decompressed byte count or -1.
+int64_t mf_inflate(const uint8_t* src, int64_t src_len, uint8_t* dst,
+                   int64_t dst_cap) {
+  uLongf out_len = static_cast<uLongf>(dst_cap);
+  const int rc = uncompress(dst, &out_len, src, static_cast<uLong>(src_len));
+  return rc == Z_OK ? static_cast<int64_t>(out_len) : -1;
+}
+
+// uint16 mm -> float32 metres conversion fused with the inflate consumer
+// (KlgLogReader.cpp:70).
+void mf_depth_mm_to_m(const uint16_t* src, float* dst, int64_t n) {
+  for (int64_t i = 0; i < n; ++i) dst[i] = src[i] * 0.001f;
+}
+
+}  // extern "C"

@@ -2,8 +2,8 @@
 
 Host-side label logic (the reference also runs this on CPU:
 cv::connectedComponentsWithStats at MfSegmentation.cpp:239 and the
-edge-reassignment loop at :243-291).  Vectorised numpy; a native C++
-union-find fast path can be slotted in via the same interface.
+edge-reassignment loop at :243-291).  The native C++ paths (cpp/libmfcore)
+are used when available; vectorised numpy otherwise.
 """
 
 from __future__ import annotations
@@ -27,6 +27,21 @@ _FOUR_CONN = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], dtype=bool)
 def connected_components(binary: np.ndarray) -> Components:
     """4-connected components with stats (cv::connectedComponentsWithStats
     equivalent)."""
+    from maskfusion_tpu import cpp as native
+
+    lib = native.load()
+    if lib is not None:
+        h, w = binary.shape
+        b = np.ascontiguousarray(binary.astype(np.uint8))
+        labels = np.empty((h, w), np.int32)
+        max_comp = 4096
+        sizes = np.empty(max_comp, np.int32)
+        bboxes = np.empty((max_comp, 4), np.int32)
+        n = lib.mf_connected_components(b, h, w, labels.reshape(-1),
+                                        sizes, bboxes.reshape(-1), max_comp)
+        if n >= 0:
+            return Components(labels=labels, sizes=sizes[:n].copy(),
+                              bboxes=bboxes[:n].copy(), count=int(n))
     labels, n = ndimage.label(binary, structure=_FOUR_CONN)
     labels = labels.astype(np.int32)
     sizes = np.bincount(labels.ravel(), minlength=n + 1)
@@ -54,6 +69,18 @@ def reassign_edge_pixels(
     pixel labelled 0 (edge) or belonging to a tiny component adopts the first
     8-neighbour (fixed priority order) whose component is big enough and
     whose depth is within `depth_delta`."""
+    from maskfusion_tpu import cpp as native
+
+    lib = native.load()
+    if lib is not None:
+        labels = np.ascontiguousarray(comp.labels.astype(np.int32)).copy()
+        sizes = np.ascontiguousarray(comp.sizes.astype(np.int32))
+        d = np.ascontiguousarray(depth.astype(np.float32))
+        lib.mf_reassign_edges(labels.reshape(-1), d, sizes,
+                              labels.shape[0], labels.shape[1],
+                              iterations, depth_delta, small_threshold)
+        return labels
+
     labels = comp.labels.copy()
     sizes = comp.sizes
     H, W = labels.shape
