@@ -146,7 +146,11 @@ class Config:
 
     # --- numerics / execution ---
     compute_dtype: str = "float32"
-    use_pallas: str = "auto"                   # "auto" | "never" | "always"
+    # Pallas stencil kernels (ops/pallas_kernels) are bit-exact vs the XLA
+    # paths but currently win <1 ms while costing minutes of Mosaic compile
+    # per process on this remote-compile transport — off by default until
+    # kernel caching/bigger fused kernels tip the balance.
+    use_pallas: str = "never"                  # "auto" | "never" | "always"
 
     def iterations(self) -> Tuple[int, int, int]:
         if self.fast_odom:

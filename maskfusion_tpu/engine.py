@@ -144,9 +144,14 @@ class MaskFusion:
         H, W = self.res.height, self.res.width
         time_delta = cfg.effective_time_delta()
 
+        from maskfusion_tpu.ops import dispatch, pallas_kernels
+
         @jax.jit
         def preprocess(rgb, depth, prev_seg):
-            filt = pp.bilateral_filter_depth(depth, radius=cfg.bilateral_radius)
+            # bilateral stays on the fused-XLA path: the 169-tap Pallas
+            # variant blows up Mosaic compile time (see ops/pallas_kernels)
+            filt = pp.bilateral_filter_depth(
+                depth, radius=cfg.bilateral_radius)
             gray = pp.rgb_to_intensity(rgb)
             levels = pp.build_frame_pyramids(
                 filt, gray, prev_seg, intr, cfg.depth_cutoff,

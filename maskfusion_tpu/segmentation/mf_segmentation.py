@@ -42,11 +42,18 @@ class MfSegmentation:
         self.semantic_ignore = np.zeros((H, W), np.uint8)
         cfg = config
 
+        from maskfusion_tpu.ops import dispatch, pallas_kernels
+
         @jax.jit
         def edge_binary(vmap, nmap):
-            edge = seg_ops.geometric_edge_map(
-                vmap, nmap, cfg.seg_weight_distance, cfg.seg_weight_concavity
-            )
+            if dispatch.use_pallas(cfg.use_pallas):
+                edge = pallas_kernels.geometric_edge_map_pallas(
+                    vmap, nmap, cfg.seg_weight_distance,
+                    cfg.seg_weight_concavity)
+            else:
+                edge = seg_ops.geometric_edge_map(
+                    vmap, nmap, cfg.seg_weight_distance,
+                    cfg.seg_weight_concavity)
             binary = seg_ops.threshold_map(edge, cfg.seg_threshold)
             if cfg.seg_morph_edge_iterations > 0:
                 binary = seg_ops.morph_binary(
