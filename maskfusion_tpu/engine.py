@@ -250,6 +250,11 @@ class MaskFusion:
                     pred, rgb, prep.levels[0]["vmap"], prep.levels[0]["nmap"]
                 )
                 pv, pn, pc = filled.vmap, filled.nmap, filled.rgb
+                if cfg.frame_to_frame_rgb:
+                    # -ftf: the photometric term tracks against the raw frame
+                    # (fill-in passthrough for the image; ICP stays
+                    # frame-to-model) — Model::initICP, Model.cpp:396-401
+                    pc = rgb.astype(jnp.float32)
             else:
                 pv, pn, pc = pred.vmap, pred.nmap, pred.rgb
             delta = pose_inv @ prev_pose
