@@ -310,6 +310,17 @@ class MaskFusion:
         self._project_ids = jax.jit(project_ids,
                                     static_argnames=("bucket",))
 
+        def combine_ids(depths, ids_vec):
+            """argmin over the model axis -> uint8 id image (host-free part
+            of GlobalProjection::downloadDirect)."""
+            stack = jnp.stack(depths)
+            arg = jnp.argmin(stack, axis=0)
+            have = jnp.isfinite(jnp.min(stack, axis=0))
+            ids = ids_vec[arg]
+            return jnp.where(have, ids, 0).astype(jnp.uint8)
+
+        self._combine_ids = jax.jit(combine_ids)
+
         def init_map(prep: Preprocessed, rgb, seg_mask, mask_id, pose, time,
                      capacity):
             m = sm.init_from_frame(
@@ -456,22 +467,28 @@ class MaskFusion:
                 tracking_ok = True
 
             trackable = cfg.trackable_classes
+            pending_jumps = []
             for model in list(self.models[1:]):
                 is_trackable = (not trackable) or (model.class_id in trackable)
                 if is_trackable:  # trackAllModels=true default (MaskFusion.h:397)
                     trm = self._track(model.state, prep,
                                       jnp.uint8(model.model_id),
                                       is_object=True)
-                    jump = float(np.linalg.norm(np.asarray(trm.delta)[:3, 3]))
-                    if jump > cfg.model_deactivate_jump:
-                        self._inactivate_model(model, "movement")
-                        continue
                     model.state = model.state._replace(pose=trm.pose)
+                    pending_jumps.append(
+                        (model, jnp.linalg.norm(trm.delta[:3, 3])))
                 else:
                     cam = np.asarray(glob.state.pose)
                     model.state = model.state._replace(
                         pose=jnp.asarray(model.initial_c2w_inv @ cam)
                     )
+            if pending_jumps:
+                # one host sync for all jump checks (MaskFusion.cpp:267-272)
+                jumps = jax.device_get(jnp.stack(
+                    [j for _, j in pending_jumps]))
+                for (model, _), jump in zip(pending_jumps, jumps):
+                    if float(jump) > cfg.model_deactivate_jump:
+                        self._inactivate_model(model, "movement")
 
         # tracking-loss bookkeeping (-rl; MaskFusion.cpp:377-414)
         if cfg.relocalisation:
@@ -519,12 +536,9 @@ class MaskFusion:
                         bucket=sm.choose_bucket(model.surfel_count,
                                                 model.state.map.capacity),
                     ))
-                stack = np.stack([np.asarray(d) for d in depths])
-                arg = np.argmin(stack, axis=0)
-                have = np.isfinite(stack.min(axis=0))
-                ids = np.zeros((H, W), np.uint8)
-                for i, model in enumerate(self.models):
-                    ids[(arg == i) & have] = model.model_id
+                ids_vec = jnp.asarray(
+                    np.array([m.model_id for m in self.models], np.int32))
+                ids = np.asarray(self._combine_ids(depths, ids_vec))
 
                 if self.spawn_offset < cfg.model_spawn_offset:
                     self.spawn_offset += 1
@@ -683,13 +697,15 @@ class MaskFusion:
         return True
 
     def _log_poses(self, frame: FrameData):
-        """TUM-convention pose logging (MaskFusion.cpp:578-602)."""
-        glob_pose = np.asarray(self.models[0].state.pose)
+        """TUM-convention pose logging (MaskFusion.cpp:578-602).  Entries
+        hold device arrays (copies, since states are donated); exporters
+        convert lazily — no per-frame host sync."""
+        glob_pose = self.models[0].state.pose
         for i, model in enumerate(self.models):
             if i == 0:
-                pose = glob_pose
+                pose = glob_pose.copy()
             else:
-                pose = glob_pose @ np.linalg.inv(np.asarray(model.state.pose))
+                pose = glob_pose @ se3.pose_inverse(model.state.pose)
             model.pose_log.append({
                 "timestamp": frame.timestamp or float(self.tick),
                 "tick": self.tick,

@@ -40,6 +40,45 @@ def _gather2d(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return flat[yc * W + xc]
 
 
+def pack_model_maps(vmap_g_prev: jnp.ndarray,
+                    nmap_g_prev: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, 6) packed model vertex+normal table for icp_step —
+    iteration-invariant, build once per pyramid level."""
+    H, W = vmap_g_prev.shape[:2]
+    return jnp.concatenate(
+        [vmap_g_prev.reshape(-1, 3), nmap_g_prev.reshape(-1, 3)], axis=1
+    ).reshape(H, W, 6)
+
+
+def rgb_static_valid(
+    next_image: jnp.ndarray,
+    next_depth: jnp.ndarray,
+    didx: jnp.ndarray,
+    didy: jnp.ndarray,
+    min_scale: float,
+    next_mask: Optional[jnp.ndarray] = None,
+    mask_id: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """The iteration-invariant part of the RGB correspondence gates
+    (neighbourhood erosion + gradient + interior + depth validity) — hoist
+    out of the GN loop; the reference recomputes it every iteration
+    (reduce.cu:823-858)."""
+    H, W = next_image.shape
+    nz = next_image > 0
+    if next_mask is not None and mask_id is not None:
+        nz = nz & (next_mask == mask_id)
+    ok = jnp.ones((H, W), bool)
+    nz_pad = jnp.pad(nz, 2, constant_values=True)
+    for dy in (-2, -1, 0, 1):
+        for dx in (-2, -1, 0, 1):
+            ok = ok & nz_pad[2 + dy: 2 + dy + H, 2 + dx: 2 + dx + W]
+    x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    interior = (x < W - 5) & (y < H - 1)
+    has_grad = (didx * didx + didy * didy) >= min_scale
+    return ok & interior & has_grad & jnp.isfinite(next_depth)
+
+
 class GNTerm(NamedTuple):
     A: jnp.ndarray          # (6,6) or (3,3)
     b: jnp.ndarray          # (6,) or (3,)
@@ -61,6 +100,7 @@ def icp_step(
     angle_thresh_sine: float,
     mask: Optional[jnp.ndarray] = None,
     mask_id: Optional[jnp.ndarray] = None,
+    vn_packed: Optional[jnp.ndarray] = None,
 ) -> GNTerm:
     """Point-to-plane projective-ICP GN term.
 
@@ -85,10 +125,10 @@ def icp_step(
     )
 
     # one 6-wide row-gather instead of two 3-wide (TPU gathers amortise
-    # over row width; random-gather throughput is the iteration bottleneck)
-    vn_packed = jnp.concatenate(
-        [vmap_g_prev.reshape(-1, 3), nmap_g_prev.reshape(-1, 3)], axis=1
-    ).reshape(H, W, 6)
+    # over row width; random-gather throughput is the iteration bottleneck).
+    # Callers in the GN loop pass vn_packed precomputed once per level.
+    if vn_packed is None:
+        vn_packed = pack_model_maps(vmap_g_prev, nmap_g_prev)
     vn = _gather2d(vn_packed, v_proj, u_proj)
     vprev_g = vn[:, 0:3]
     nprev_g = vn[:, 3:6]
@@ -151,6 +191,7 @@ def compute_rgb_residual(
     max_depth_delta: float,
     next_mask: Optional[jnp.ndarray] = None,
     mask_id: Optional[jnp.ndarray] = None,
+    static_valid: Optional[jnp.ndarray] = None,
 ) -> RGBCorrespondences:
     """Dense photometric correspondence search (RGBResidual, reduce.cu:811-891).
 
@@ -160,26 +201,13 @@ def compute_rgb_residual(
     4x4 validity neighbourhood (rows [i-2,i+2), cols [j-2,j+2)) requires
     nextImage > 0 and, when masking, label == mask_id (reduce.cu:829-841)."""
     H, W = next_image.shape
-    nz = next_image > 0
-    if next_mask is not None and mask_id is not None:
-        nz = nz & (next_mask == mask_id)
-    # neighbourhood erosion over the reference's asymmetric 4x4 window;
-    # out-of-image positions are skipped (treated valid) via the True fill.
-    ok = jnp.ones((H, W), bool)
-    nz_pad = jnp.pad(nz, 2, constant_values=True)
-    for dy in (-2, -1, 0, 1):
-        for dx in (-2, -1, 0, 1):
-            ok = ok & nz_pad[2 + dy: 2 + dy + H, 2 + dx: 2 + dx + W]
-
+    if static_valid is None:
+        static_valid = rgb_static_valid(
+            next_image, next_depth, didx, didy, min_scale,
+            next_mask, mask_id)
     x = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     y = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    interior = (x < W - 5) & (y < H - 1)
-
-    m2 = didx * didx + didy * didy
-    has_grad = m2 >= min_scale
-
     d1 = next_depth
-    d1_ok = jnp.isfinite(d1)
 
     td1 = d1 * (krk_inv[2, 0] * x + krk_inv[2, 1] * y + krk_inv[2, 2]) + kt[2]
     u0f = (d1 * (krk_inv[0, 0] * x + krk_inv[0, 1] * y + krk_inv[0, 2]) + kt[0]) / td1
@@ -196,7 +224,7 @@ def compute_rgb_residual(
     li = di[..., 1]
 
     depth_ok = (d0 > 0) & (jnp.abs(td1 - d0) <= max_depth_delta) & (li != 0)
-    valid = ok & interior & has_grad & d1_ok & in_b & depth_ok
+    valid = static_valid & in_b & depth_ok
 
     diff = next_image.astype(jnp.float32) - li
     diff = jnp.where(valid, diff, 0.0)

@@ -282,8 +282,20 @@ def get_incremental_transformation(
         il = intr.level(lvl)
         min_scale = (min_grad_magnitudes[lvl] ** 2) / (sobel_scale ** 2)
 
+        # iteration-invariant precomputes (the reference redoes these every
+        # GN iteration): packed model maps + the static RGB validity gates
+        vn_packed = red.pack_model_maps(
+            model.vmaps_g[lvl], model.nmaps_g[lvl]) if use_icp else None
+        static_valid = red.rgb_static_valid(
+            frame.intensities[lvl], frame.depths[lvl],
+            didx[lvl], didy[lvl], min_scale,
+            next_mask=frame.masks[lvl] if use_mask_rgb else None,
+            mask_id=mask_id if use_mask_rgb else None,
+        ) if use_rgb else None
+
         def body(j, carry, lvl=lvl, Kj=Kj, K_invj=K_invj, il=il,
-                 min_scale=min_scale):
+                 min_scale=min_scale, vn_packed=vn_packed,
+                 static_valid=static_valid):
             (result_rt, t_curr, R_curr, last_rgb_error, lastA, lastb,
              icp_error, icp_count, rgb_error, rgb_count, done) = carry
 
@@ -298,8 +310,7 @@ def get_incremental_transformation(
                     model.depths[lvl], frame.depths[lvl],
                     model.intensities[lvl], frame.intensities[lvl],
                     krk_inv, kt, min_scale, max_depth_delta_rgb,
-                    next_mask=frame.masks[lvl] if use_mask_rgb else None,
-                    mask_id=mask_id if use_mask_rgb else None,
+                    static_valid=static_valid,
                 )
                 tmp_error = jnp.sqrt(corres.sigma_sum) / jnp.maximum(corres.count, 1.0)
                 sigma_val = jnp.where(tmp_error == 0, 1.0, corres.count)
@@ -321,6 +332,7 @@ def get_incremental_transformation(
                     dist_thresh, angle_thresh_sine,
                     mask=frame.masks[lvl] if use_mask_icp else None,
                     mask_id=mask_id if use_mask_icp else None,
+                    vn_packed=vn_packed,
                 )
                 new_icp_error = jnp.sqrt(icp_term.residual_sq) / jnp.maximum(
                     icp_term.count, 1.0
