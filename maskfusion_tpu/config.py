@@ -86,6 +86,10 @@ class Config:
     min_surfels_keep: int = 4000               # smart-delete (:699-713)
     min_conf_keep: float = 0.3
     preallocated_models: int = 0               # -a
+    # Redetection of inactive models. The reference declares the interface
+    # but ships no matcher (enableRedetection=false, MaskFusion.cpp:399,
+    # redetectModels gutted :686-689); ours uses the fern baseline matcher.
+    enable_redetection: bool = False
 
     # --- segmentation ---
     seg_method: str = "maskfusion"             # -method: maskfusion|cofusion|precomputed

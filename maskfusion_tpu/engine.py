@@ -130,6 +130,7 @@ class MaskFusion:
             )
         self.new_model_listeners = []
         self.inactive_model_listeners = []
+        self._matcher = None
         self.segmenter = None
         if not self.cfg.static_mode:
             self.segmenter = create_segmenter(
@@ -370,6 +371,14 @@ class MaskFusion:
                     break
         return nxt
 
+    def _redetect(self, frame, roi):
+        if self._matcher is None:
+            from maskfusion_tpu.mapping.model_matching import FernModelMatcher
+
+            self._matcher = FernModelMatcher()
+        return self._matcher.detect_in_region(frame, roi,
+                                              self.inactive_models)
+
     def _inactivate_model(self, model: Model, reason: str):
         """Smart delete (MaskFusion::inactivateModel, :699-713)."""
         keep = self.cfg.keep_all_models or (
@@ -378,6 +387,14 @@ class MaskFusion:
         )
         if keep:
             self.inactive_models.append(model)
+            if self.cfg.enable_redetection:
+                if self._matcher is None:
+                    from maskfusion_tpu.mapping.model_matching import (
+                        FernModelMatcher,
+                    )
+
+                    self._matcher = FernModelMatcher()
+                self._matcher.build_model_description(model)
         for cb in self.inactive_model_listeners:
             cb(model)
         self.models.remove(model)
@@ -555,6 +572,38 @@ class MaskFusion:
                 )
                 seg_mask_np = seg_result.full_segmentation
                 self.last_segmentation = seg_mask_np
+
+            # -------- redetect inactive models (MaskFusion::redetectModels
+            #          interface; gutted in the reference :686-689) --------
+            if (cfg.enable_redetection and self.inactive_models
+                    and seg_result.has_new_label):
+                md = seg_result.model_data[-1]
+                sel = seg_result.full_segmentation == md.model_id
+                if sel.any():
+                    ys, xs = np.where(sel)
+                    roi = (int(ys.min()), int(xs.min()),
+                           int(ys.max()) + 1, int(xs.max()) + 1)
+                    det = self._redetect(frame, roi)
+                    if det is not None:
+                        # reactivate instead of spawning a new model
+                        for m in list(self.inactive_models):
+                            if m.model_id == det.model_id:
+                                self.inactive_models.remove(m)
+                                m.prev_pose = np.asarray(glob.state.pose)
+                                m.state = m.state._replace(
+                                    pose=glob.state.pose.copy())
+                                self.models.append(m)
+                                if hasattr(self.segmenter, "remap_new_label"):
+                                    self.segmenter.remap_new_label(
+                                        md.model_id, m.model_id)
+                                seg_result.has_new_label = False
+                                seg_result.full_segmentation = np.where(
+                                    sel, m.model_id,
+                                    seg_result.full_segmentation
+                                ).astype(np.uint8)
+                                seg_mask_np = seg_result.full_segmentation
+                                self.last_segmentation = seg_mask_np
+                                break
 
             # -------- spawn new model (:314-332) --------
             if seg_result.has_new_label:

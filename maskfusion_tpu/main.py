@@ -98,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--toml", dest="toml_config",
                    help="config.toml with class_names/filter_classes/"
                         "score_threshold/trackable_classes")
+    p.add_argument("--save-state", dest="save_state",
+                   help="write an engine checkpoint here after the run")
+    p.add_argument("--load-state", dest="load_state",
+                   help="resume from an engine checkpoint before the run")
     return p
 
 
@@ -243,6 +247,11 @@ def main(argv=None):
         print(f"auto-detected resolution {res.width}x{res.height}")
 
     engine = MaskFusion(res, intr, cfg)
+    if args.load_state:
+        from maskfusion_tpu.io import checkpoint
+
+        checkpoint.load(engine, args.load_state)
+        print(f"resumed from {args.load_state} at tick {engine.tick}")
 
     budget_ms = 1000.0 / cfg.target_fps
     n = 0
@@ -312,6 +321,12 @@ def main(argv=None):
     print(f"processed {n} frames in {elapsed:.1f}s ({fps:.2f} FPS)")
     print("timings(ms):", {k: round(v, 1)
                            for k, v in engine.stopwatch.summary().items()})
+
+    if args.save_state:
+        from maskfusion_tpu.io import checkpoint
+
+        checkpoint.save(engine, args.save_state)
+        print(f"checkpoint written to {args.save_state}")
 
     if cfg.export_dir:
         if cfg.export_poses:

@@ -20,6 +20,14 @@ class PreSegmentation:
     def __init__(self, config):
         self.cfg = config
         self.label_to_model: Dict[int, int] = {0: 0}
+        self._tentative = None
+
+    def remap_new_label(self, tentative_id: int, actual_id: int):
+        """The engine redetected an inactive model for this frame's new
+        label — keep the persistent mapping pointing at the real model."""
+        for lab, mid in list(self.label_to_model.items()):
+            if mid == tentative_id:
+                self.label_to_model[lab] = actual_id
 
     def perform(
         self,
@@ -49,6 +57,11 @@ class PreSegmentation:
             if lab == 255:
                 out[mask == lab] = 255
                 continue
+            if (lab in self.label_to_model
+                    and self.label_to_model[lab] not in model_ids):
+                # the mapped model was deactivated; re-offer the label as new
+                # so the engine can redetect/reactivate or spawn fresh
+                del self.label_to_model[lab]
             if lab not in self.label_to_model:
                 if allow_new and not result.has_new_label:
                     self.label_to_model[lab] = next_model_id
@@ -68,6 +81,7 @@ class PreSegmentation:
                 out[mask == lab] = 255
 
         result.full_segmentation = out
+        self._tentative = next_model_id if result.has_new_label else None
         depth = frame.depth
         for md in result.model_data:
             sel = (out == md.model_id) & (depth > 0)

@@ -90,3 +90,36 @@ def test_mask_gates_fusion():
     # object surfels concentrated near the object's world region (x~[-0.1,0.3])
     assert np.abs(np.median(m["pos"][:, 2]) - 1.5) < 0.1
     assert m["pos"][:, 0].min() > -0.35 and m["pos"][:, 0].max() < 0.55
+
+
+def test_redetection_reactivates_inactive_model():
+    """A deactivated object that reappears is re-activated instead of
+    spawning a new model (enable_redetection; the reference declares this
+    path but ships no matcher)."""
+    import jax.numpy as jnp
+
+    eng = make_engine(enable_redetection=True, keep_all_models=True,
+                      model_spawn_offset=0)
+    step = 0.0
+    for i in range(3):
+        pts, cols, labels = syn.make_scene_with_object()
+        rgb, depth, lab = syn.render(pts, cols, np.eye(4, dtype=np.float32),
+                                     syn.DEFAULT_INTR, labels=labels)
+        eng.process_frame(FrameData(rgb=rgb, depth=depth, mask=lab,
+                                    class_ids=[0, 7], timestamp=float(i)))
+    assert len(eng.models) == 2
+    obj = eng.models[1]
+    old_id = obj.model_id
+    # force-deactivate (as a tracking jump would)
+    eng._inactivate_model(obj, "test")
+    assert obj in eng.inactive_models and len(eng.models) == 1
+    # object still visible in subsequent frames -> should be re-detected
+    for i in range(3, 6):
+        pts, cols, labels = syn.make_scene_with_object()
+        rgb, depth, lab = syn.render(pts, cols, np.eye(4, dtype=np.float32),
+                                     syn.DEFAULT_INTR, labels=labels)
+        eng.process_frame(FrameData(rgb=rgb, depth=depth, mask=lab,
+                                    class_ids=[0, 7], timestamp=float(i)))
+    ids = [m.model_id for m in eng.models]
+    assert old_id in ids, f"model {old_id} not reactivated (models {ids})"
+    assert obj not in eng.inactive_models
