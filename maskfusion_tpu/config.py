@@ -59,10 +59,8 @@ class Config:
 
     # --- depth preprocessing ---
     depth_cutoff: float = 5.0                  # -d (GUI default 4, CLI doc 5)
-    bilateral_sigma_space: float = 4.5         # depth_bilateral_metric.frag constants
-    bilateral_sigma_color: float = 0.03
-    bilateral_radius: int = 6
-    min_depth: float = 0.0
+    bilateral_radius: int = 6                  # sigmas are the frag-shader
+                                               # constants (preprocess.py)
 
     # --- fusion / mapping ---
     conf_threshold_global: float = 10.0        # -confG
@@ -73,7 +71,6 @@ class Config:
     weight_multiplier: float = 1.0             # fusion weight scale
     velocity_fusion_weight: bool = True        # Model::computeFusionWeight
     fuse_subsample_checkerboard: bool = True   # data.vert:114 time-parity subsample
-    data_assoc_window: int = 2                 # +-pixels searched in the index map
     surfel_merge_z_thresh: float = 0.05        # data.vert:141 |zdiff*lambda| gate
     unstable_time_limit: int = 20              # copy_unstable.vert:134
     icl_nuim: bool = False                     # -icl: flip normals

@@ -127,6 +127,7 @@ class MaskFusion:
                 self.cfg.num_ferns, resolution, intr,
                 max_depth=self.cfg.depth_cutoff,
                 photo_thresh=self.cfg.photometric_thresh,
+                factor=1 << self.cfg.fern_pyramid_level,
             )
         self.new_model_listeners = []
         self.inactive_model_listeners = []
@@ -158,6 +159,11 @@ class MaskFusion:
                 filt, gray, prev_seg, intr, cfg.depth_cutoff,
                 cfg.num_pyr_levels,
             )
+            if cfg.icl_nuim:
+                # -icl: ICL-NUIM's negative focal length flips normals
+                # (MainController.cpp:-icl doc)
+                levels = tuple(
+                    dict(l, nmap=-l["nmap"]) for l in levels)
             frame_pyr = odo.build_frame_pyramids_for_odometry(
                 levels, rgb, cfg.max_depth_rgb
             )
@@ -207,9 +213,12 @@ class MaskFusion:
                                allow_fill_in: bool, bucket: int):
             pose = state.pose
             pose_inv = se3.pose_inverse(pose)
-            weighting = fuse_ops.compute_fusion_weight(
-                state.last_delta, weight_multiplier
-            )
+            if cfg.velocity_fusion_weight:
+                weighting = fuse_ops.compute_fusion_weight(
+                    state.last_delta, weight_multiplier
+                )
+            else:
+                weighting = weight_multiplier
             full_map = state.map
             work = sm.prefix_view(full_map, bucket)
             im1 = splat_ops.render_index_map(

@@ -260,6 +260,8 @@ def main(argv=None):
     while pending is not None:
         frame = pending
         pending = reader.get_next() if reader.has_more() else None
+        if pending is None and args.rewind and reader.rewind():
+            pending = reader.get_next()  # -r: loop the log forever
         if nn_queue is not None:
             # delay-queue semantics: consume frames only once labelled
             # (or the queue overflows)

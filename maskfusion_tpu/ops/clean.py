@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from maskfusion_tpu.camera import CameraIntrinsics
 from maskfusion_tpu.mapping import surfel_map as sm
 from maskfusion_tpu.mapping.surfel_map import SurfelMap
-from maskfusion_tpu.ops.fuse import half_pixel_taps
 from maskfusion_tpu.ops.splat import IndexMap
 
 

@@ -10,12 +10,13 @@ fusion (Model::fuse, Model.cpp:466-647):
   pass 2 (update.vert:38-111) — per surfel, blend the update record by
       confidence-weighted averaging.
 
-Here pass 1 is a dense gather over the index map using the reference's exact
-16-tap half-pixel window, and pass 2 is a scatter-add of weighted pixel
-contributions followed by one vectorised merge.  Where the reference's
-rasterised update keeps an *arbitrary* single pixel per surfel (fragment
-order is unspecified), we average all matched pixels — deterministic and
-strictly more information.
+Here pass 1 evaluates the reference's exact window (its 16 half-pixel taps
+around a pixel-center query collapse to the 3x3 texel neighbourhood) with
+static shifted slices — no gathers — and pass 2 accumulates the weighted
+pixel contributions with sort-based segment sums followed by one vectorised
+merge.  Where the reference's rasterised update keeps an *arbitrary* single
+pixel per surfel (fragment order is unspecified), we average all matched
+pixels — deterministic and strictly more information.
 """
 
 from __future__ import annotations
@@ -31,23 +32,11 @@ from maskfusion_tpu.mapping.surfel_map import SurfelMap
 from maskfusion_tpu.ops.splat import IndexMap
 
 
-def half_pixel_taps(x: jnp.ndarray, y: jnp.ndarray):
-    """The reference's association window: texcoord offsets
-    {-1, -0.5, 0, +0.5} pixels on each axis sampled with nearest (floor)
-    lookup (data.vert:139-161, copy_unstable.vert:87-115).  Returns 16
-    (ty, tx) integer tap pairs, duplicates included — the duplicate taps are
-    what calibrate the reference's count thresholds."""
-    taps = []
-    xs = [jnp.floor(x - 1.0), jnp.floor(x - 0.5), jnp.floor(x), jnp.floor(x + 0.5)]
-    ys = [jnp.floor(y - 1.0), jnp.floor(y - 0.5), jnp.floor(y), jnp.floor(y + 0.5)]
-    for ty in ys:
-        for tx in xs:
-            taps.append((ty.astype(jnp.int32), tx.astype(jnp.int32)))
-    return taps
-
-
 def half_pixel_taps_unique(x: jnp.ndarray, y: jnp.ndarray):
-    """Deduplicated form of half_pixel_taps: the 16 half-pixel samples touch
+    """The reference's association/violation window: texcoord offsets
+    {-1, -0.5, 0, +0.5} pixels on each axis, sampled with nearest (floor)
+    lookup (data.vert:139-161, copy_unstable.vert:87-115) — those 16
+    half-pixel samples touch
     at most 3 unique texels per axis — offsets (-1, 0, +1) around floor(x)
     with per-axis multiplicities (2,2,0) when frac < 0.5 and (1,2,1)
     otherwise.  Returns 9 (ty, tx, multiplicity) taps whose
@@ -64,14 +53,6 @@ def half_pixel_taps_unique(x: jnp.ndarray, y: jnp.ndarray):
         for ix, dx in enumerate((-1, 0, 1)):
             taps.append((ky + dy, kx + dx, my[iy] * mx[ix]))
     return taps
-
-
-def _tap_gather(arr: jnp.ndarray, ty: jnp.ndarray, tx: jnp.ndarray):
-    H, W = arr.shape[:2]
-    ok = (ty >= 0) & (ty < H) & (tx >= 0) & (tx < W)
-    yc = jnp.clip(ty, 0, H - 1)
-    xc = jnp.clip(tx, 0, W - 1)
-    return arr[yc, xc], ok
 
 
 class FuseResult(NamedTuple):
@@ -168,21 +149,23 @@ def fuse(
             in_img = jnp.ones((H, W), bool)
 
             zdiff = c_pos[..., 2] - z_raw
-        z_ok = jnp.abs(zdiff * lam) < merge_z_thresh
-        dist = jnp.linalg.norm(jnp.cross(ray, c_pos), axis=-1)
-        # normal conformance (data.vert:150-153)
-        cosang = jnp.clip(
-            jnp.sum(c_nr * vnorm_l, axis=-1)
-            / jnp.maximum(
-                jnp.linalg.norm(c_nr, axis=-1) * jnp.linalg.norm(vnorm_l, axis=-1),
-                1e-12,
-            ),
-            -1.0, 1.0,
-        )
-        norm_ok = (jnp.abs(c_nr[..., 2]) < 0.75) | (jnp.abs(jnp.arccos(cosang)) < 0.5)
-        ok = in_img & (c_idx >= 0) & z_ok & norm_ok & (dist < best_dist)
-        best_dist = jnp.where(ok, dist, best_dist)
-        best_slot = jnp.where(ok, c_idx, best_slot)
+            z_ok = jnp.abs(zdiff * lam) < merge_z_thresh
+            dist = jnp.linalg.norm(jnp.cross(ray, c_pos), axis=-1)
+            # normal conformance (data.vert:150-153)
+            cosang = jnp.clip(
+                jnp.sum(c_nr * vnorm_l, axis=-1)
+                / jnp.maximum(
+                    jnp.linalg.norm(c_nr, axis=-1)
+                    * jnp.linalg.norm(vnorm_l, axis=-1),
+                    1e-12,
+                ),
+                -1.0, 1.0,
+            )
+            norm_ok = ((jnp.abs(c_nr[..., 2]) < 0.75)
+                       | (jnp.abs(jnp.arccos(cosang)) < 0.5))
+            ok = in_img & (c_idx >= 0) & z_ok & norm_ok & (dist < best_dist)
+            best_dist = jnp.where(ok, dist, best_dist)
+            best_slot = jnp.where(ok, c_idx, best_slot)
 
     matched = eligible & (best_slot >= 0)
     new_pix = eligible & (best_slot < 0)
