@@ -128,7 +128,7 @@ def fuse(
     # pixel CENTERS (uv = (i+0.5)/W, Model.cpp:177-183), so the reference's
     # 16 half-pixel taps (data.vert:139-161) touch exactly the 3x3 texel
     # neighbourhood — static offsets, pure shifted slices, no gathers.
-    best_dist = jnp.full((H, W), 1000.0, jnp.float32)
+    best_dist = jnp.full((H, W), 1.0e6, jnp.float32)  # squared-distance space
     best_slot = jnp.full((H, W), -1, jnp.int32)
     vnorm_l = nmap_filt
 
@@ -145,26 +145,21 @@ def fuse(
                 shift2(jnp.ones((H, W), jnp.int32), dy, dx) > 0, c_idx, -1)
             c_pos = shift2(index_map.pos, dy, dx)
             c_nr = shift2(index_map.normal, dy, dx)
-            c_rad = shift2(index_map.radius, dy, dx)
             in_img = jnp.ones((H, W), bool)
 
             zdiff = c_pos[..., 2] - z_raw
             z_ok = jnp.abs(zdiff * lam) < merge_z_thresh
-            dist = jnp.linalg.norm(jnp.cross(ray, c_pos), axis=-1)
-            # normal conformance (data.vert:150-153)
-            cosang = jnp.clip(
-                jnp.sum(c_nr * vnorm_l, axis=-1)
-                / jnp.maximum(
-                    jnp.linalg.norm(c_nr, axis=-1)
-                    * jnp.linalg.norm(vnorm_l, axis=-1),
-                    1e-12,
-                ),
-                -1.0, 1.0,
-            )
+            # squared ray distance (argmin is monotonic in the square)
+            cr = jnp.cross(ray, c_pos)
+            dist2 = jnp.sum(cr * cr, axis=-1)
+            # normal conformance (data.vert:150-153).  angleBetween(a,b) < 0.5
+            # == cos(angle) > cos(0.5) — both normals are stored unit, so the
+            # dot IS the cosine; no arccos / renormalisation needed.
+            cosang = jnp.sum(c_nr * vnorm_l, axis=-1)
             norm_ok = ((jnp.abs(c_nr[..., 2]) < 0.75)
-                       | (jnp.abs(jnp.arccos(cosang)) < 0.5))
-            ok = in_img & (c_idx >= 0) & z_ok & norm_ok & (dist < best_dist)
-            best_dist = jnp.where(ok, dist, best_dist)
+                       | (cosang > 0.8775826))
+            ok = in_img & (c_idx >= 0) & z_ok & norm_ok & (dist2 < best_dist)
+            best_dist = jnp.where(ok, dist2, best_dist)
             best_slot = jnp.where(ok, c_idx, best_slot)
 
     matched = eligible & (best_slot >= 0)
