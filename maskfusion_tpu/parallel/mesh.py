@@ -19,10 +19,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axes: Tuple[str, ...] = ("dp", "mp")) -> Mesh:
+              axes: Tuple[str, ...] = ("dp", "mp"),
+              devices: Optional[Sequence] = None) -> Mesh:
     """Factorise available devices into a (dp, mp) mesh: mp gets 2 when the
-    device count is even and >2, else 1."""
-    devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    device count is even and >2, else 1.
+
+    ``devices`` lets callers pin an explicit device list (e.g.
+    ``jax.devices("cpu")`` for the virtual multi-chip dryrun) instead of
+    whatever platform the default backend resolved to.
+    """
+    if devices is None:
+        devices = jax.devices()
+    devices = list(devices)[:n_devices] if n_devices else list(devices)
     n = len(devices)
     if len(axes) == 1:
         shape = (n,)
