@@ -74,6 +74,9 @@ class Preprocessed(NamedTuple):
     intensity: jnp.ndarray
     levels: tuple
     frame_pyr: odo.FramePyramids
+    vmap_raw: jnp.ndarray      # vertices from RAW depth — fusion geometry
+                               # source (data.vert:85-90: "Filtered position
+                               # ONLY used for normal and radius")
 
 
 @dataclasses.dataclass
@@ -148,12 +151,21 @@ class MaskFusion:
 
         from maskfusion_tpu.ops import dispatch, pallas_kernels
 
+        # The reference's bilateral shader params are calibrated for VGA
+        # (depth_bilateral_metric.frag runs at 640x480/512x424); keep the
+        # METRIC footprint constant across resolutions by scaling the pixel
+        # radius and spatial sigma with image width (no-op at W=640).
+        _bl_scale = W / 640.0
+        _bl_radius = max(1, int(round(cfg.bilateral_radius * _bl_scale)))
+        _bl_sigma_space = 0.024691358 / (_bl_scale * _bl_scale)
+
         @jax.jit
         def preprocess(rgb, depth, prev_seg):
             # bilateral stays on the fused-XLA path: the 169-tap Pallas
             # variant blows up Mosaic compile time (see ops/pallas_kernels)
             filt = pp.bilateral_filter_depth(
-                depth, radius=cfg.bilateral_radius)
+                depth, radius=_bl_radius,
+                sigma_space2_inv_half=_bl_sigma_space)
             gray = pp.rgb_to_intensity(rgb)
             levels = pp.build_frame_pyramids(
                 filt, gray, prev_seg, intr, cfg.depth_cutoff,
@@ -167,7 +179,8 @@ class MaskFusion:
             frame_pyr = odo.build_frame_pyramids_for_odometry(
                 levels, rgb, cfg.max_depth_rgb
             )
-            return Preprocessed(filt, gray, levels, frame_pyr)
+            vmap_raw = pp.create_vmap(depth, intr, cfg.depth_cutoff)
+            return Preprocessed(filt, gray, levels, frame_pyr, vmap_raw)
 
         self._preprocess = preprocess
 
@@ -226,7 +239,7 @@ class MaskFusion:
             )
             fres = fuse_ops.fuse(
                 work, im1,
-                prep.levels[0]["vmap"],
+                prep.vmap_raw,
                 prep.levels[0]["vmap"], prep.levels[0]["nmap"],
                 rgb, seg_mask, mask_id, pose, intr, time, weighting,
                 max_depth,
@@ -335,7 +348,7 @@ class MaskFusion:
                      capacity):
             m = sm.init_from_frame(
                 capacity,
-                prep.levels[0]["vmap"], prep.levels[0]["vmap"],
+                prep.vmap_raw, prep.levels[0]["vmap"],
                 prep.levels[0]["nmap"], rgb, seg_mask, mask_id, pose, intr,
                 time,
             )
@@ -374,6 +387,10 @@ class MaskFusion:
             if len(self.models) >= self.cfg.max_models:
                 raise RuntimeError("maximum number of models (256) in use")
             used = {m.model_id for m in self.models}
+            if self.cfg.enable_redetection or self.cfg.keep_all_models:
+                # kept inactive models can be reactivated later; reusing
+                # their id would give two active models one mask label
+                used |= {m.model_id for m in self.inactive_models}
             while True:
                 self.next_id = (self.next_id + 1) % 256 or 1
                 if self.next_id not in used:
@@ -547,6 +564,13 @@ class MaskFusion:
                     self.last_frame_recovery = True
                 else:
                     fern_accepted = self._apply_loop_closure(glob, res)
+                    if fern_accepted:
+                        # the reference overrides the camera pose with the
+                        # fern recovery pose on acceptance
+                        # (MaskFusion.cpp:443-456) so the camera stays
+                        # consistent with the deformed map
+                        glob.state = glob.state._replace(
+                            pose=jnp.asarray(res.pose.astype(np.float32)))
 
         seg_result = None
         seg_mask_np = np.zeros((H, W), np.uint8)

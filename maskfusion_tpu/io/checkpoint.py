@@ -30,9 +30,15 @@ def save(engine: "MaskFusion", path: str):
         "spawn_offset": engine.spawn_offset,
         "lost": engine.lost,
         "last_count": engine._last_count,
+        "bad_tracking_streak": engine.bad_tracking_streak,
+        "last_frame_recovery": engine.last_frame_recovery,
         "models": [],
         "inactive_models": [],
     }
+    seg = engine.segmenter
+    if seg is not None and hasattr(seg, "label_to_model"):
+        meta["label_to_model"] = {
+            str(k): v for k, v in seg.label_to_model.items()}
 
     def dump_model(model, name):
         st = model.state
@@ -155,6 +161,13 @@ def load(engine: "MaskFusion", path: str):
     engine.spawn_offset = meta["spawn_offset"]
     engine.lost = meta["lost"]
     engine._last_count = meta["last_count"]
+    engine.bad_tracking_streak = meta.get("bad_tracking_streak", 0)
+    engine.last_frame_recovery = meta.get("last_frame_recovery", False)
+    if (engine.segmenter is not None
+            and hasattr(engine.segmenter, "label_to_model")
+            and "label_to_model" in meta):
+        engine.segmenter.label_to_model = {
+            int(k): v for k, v in meta["label_to_model"].items()}
 
     if engine.ferns is not None and "ferns" in meta:
         fm = meta["ferns"]

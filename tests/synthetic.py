@@ -67,19 +67,34 @@ def render(pts_w, cols, pose_c2w, intr=DEFAULT_INTR, w=W, h=H, labels=None):
     p_cam = (pts_w - t) @ R  # R^T @ (p - t)
     z = p_cam[:, 2]
     front = z > 0.05
-    u = np.round(p_cam[:, 0] * intr.fx / z + intr.cx).astype(np.int64)
-    v = np.round(p_cam[:, 1] * intr.fy / z + intr.cy).astype(np.int64)
+    uf = p_cam[:, 0] * intr.fx / z + intr.cx
+    vf = p_cam[:, 1] * intr.fy / z + intr.cy
+    u = np.round(uf).astype(np.int64)
+    v = np.round(vf).astype(np.int64)
     ok = front & (u >= 0) & (u < w) & (v >= 0) & (v < h)
     lin = v[ok] * w + u[ok]
     zok = z[ok].astype(np.float32)
 
     zbuf = np.full(h * w, np.inf, np.float32)
     np.minimum.at(zbuf, lin, zok)
-    winner = zok <= zbuf[lin] * (1 + 1e-6)
+    # among points on the front surface of each pixel (within 0.5% of the
+    # z-winner), keep the one whose true projection is CLOSEST to the pixel
+    # centre — a real sensor measures through the centre ray, and with ~20
+    # points/pixel this cuts the lateral aliasing from 0.5 px to ~0.1 px
+    # (raw-depth fusion, data.vert:85-90, needs centre-accurate raw depth)
+    near_front = zok <= zbuf[lin] * (1 + 5e-3)
+    du = uf[ok] - np.round(uf[ok])
+    dv = vf[ok] - np.round(vf[ok])
+    centre_dist = (du * du + dv * dv).astype(np.float32)
+    dist_key = np.where(near_front, centre_dist, np.inf)
+    best = np.full(h * w, np.inf, np.float32)
+    np.minimum.at(best, lin, dist_key)
+    winner = near_front & (dist_key <= best[lin])
 
     rgb = np.zeros((h * w, 3), np.uint8)
     rgb[lin[winner]] = cols[ok][winner]
-    depth = np.where(np.isfinite(zbuf), zbuf, 0.0).astype(np.float32)
+    depth = np.zeros(h * w, np.float32)
+    depth[lin[winner]] = zok[winner]
     out = [rgb.reshape(h, w, 3), depth.reshape(h, w)]
     if labels is not None:
         lab = np.zeros(h * w, np.uint8)
