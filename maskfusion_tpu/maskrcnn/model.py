@@ -14,7 +14,7 @@ class filter) mirrors the reference's config.toml.in:4-36.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -41,65 +41,118 @@ class MaskRCNNConfig:
     roi_pool_size: int = 7
     mask_pool_size: int = 14
     fpn_channels: int = 256
+    box_head_dim: int = 1024               # matterport FPN_CLASSIF_FC_LAYERS
+    mask_head_channels: int = 256
+    # backbone (matterport supports resnet50/101 via stage block counts)
+    backbone_blocks: Tuple[int, ...] = (3, 4, 6, 3)
+    # norm layer: "gn" (from-scratch training) or "frozen_bn" (inference
+    # with converted matterport weights, which bake BatchNorm statistics)
+    norm: str = "gn"
     # train
     rpn_positive_iou: float = 0.7
     rpn_negative_iou: float = 0.3
+    train_rois: int = 64                   # matterport TRAIN_ROIS_PER_IMAGE
+    roi_positive_ratio: float = 0.33
+    roi_positive_iou: float = 0.5
+    # box-delta normalisation (matterport BBOX_STD_DEV / RPN_BBOX_STD_DEV)
+    bbox_std: Tuple[float, ...] = (0.1, 0.1, 0.2, 0.2)
     dtype: Any = jnp.bfloat16
 
 
 # --------------------------------------------------------------------------
-# Backbone: ResNet-50
+# Backbone: ResNet-50/101 + FPN
 # --------------------------------------------------------------------------
 
-class Bottleneck(nn.Module):
-    filters: int
-    stride: int = 1
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm applied as a fixed affine transform from stored statistics —
+    what matterport's inference graph computes (BN layers run in inference
+    mode, MaskRCNN.py.in model config); weight conversion fills
+    scale/bias/mean/var from the .h5 (gamma/beta/moving_mean/moving_var)."""
     dtype: Any = jnp.bfloat16
 
     @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = self.param("mean", nn.initializers.zeros, (c,), jnp.float32)
+        var = self.param("var", nn.initializers.ones, (c,), jnp.float32)
+        inv = scale / jnp.sqrt(var + 1e-5)
+        return x * inv.astype(x.dtype) + (bias - mean * inv).astype(x.dtype)
+
+
+def make_norm(cfg: MaskRCNNConfig, channels: int):
+    if cfg.norm == "frozen_bn":
+        return FrozenBatchNorm(dtype=cfg.dtype)
+    # cap at 32 groups but keep groups >= 8 channels wide: tiny groups are
+    # degenerate (a 2-channel group normalises every pair to +-1, erasing
+    # the activations — observed as a content-blind box head)
+    groups = min(32, max(1, channels // 8))
+    while channels % groups:
+        groups -= 1
+    return nn.GroupNorm(num_groups=groups, dtype=cfg.dtype)
+
+
+class Bottleneck(nn.Module):
+    cfg: MaskRCNNConfig
+    filters: int
+    stride: int = 1
+
+    @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.cfg.dtype
         residual = x
-        y = nn.Conv(self.filters, (1, 1), dtype=self.dtype, use_bias=False)(x)
-        y = nn.GroupNorm(num_groups=32, dtype=self.dtype)(y)
+        y = nn.Conv(self.filters, (1, 1),
+                    strides=(self.stride, self.stride),
+                    dtype=dt, use_bias=True)(x)
+        y = make_norm(self.cfg, self.filters)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
-                    dtype=self.dtype, use_bias=False)(y)
-        y = nn.GroupNorm(num_groups=32, dtype=self.dtype)(y)
+        y = nn.Conv(self.filters, (3, 3), dtype=dt, use_bias=True)(y)
+        y = make_norm(self.cfg, self.filters)(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters * 4, (1, 1), dtype=self.dtype,
-                    use_bias=False)(y)
-        y = nn.GroupNorm(num_groups=32, dtype=self.dtype)(y)
+        y = nn.Conv(self.filters * 4, (1, 1), dtype=dt,
+                    use_bias=True)(y)
+        y = make_norm(self.cfg, self.filters * 4)(y)
         if residual.shape[-1] != self.filters * 4 or self.stride != 1:
             residual = nn.Conv(self.filters * 4, (1, 1),
                                strides=(self.stride, self.stride),
-                               dtype=self.dtype, use_bias=False)(residual)
-            residual = nn.GroupNorm(num_groups=32, dtype=self.dtype)(residual)
+                               dtype=dt, use_bias=True)(residual)
+            residual = make_norm(self.cfg, self.filters * 4)(residual)
         return nn.relu(y + residual)
 
 
 class ResNetFPN(nn.Module):
-    """ResNet-50 + FPN producing P2..P6 at strides 4..64."""
+    """ResNet-50/101 + FPN producing P2..P6 at strides 4..64.
+
+    Structure follows matterport's resnet_graph (stride on the 1x1 branch2a
+    conv, branch1 downsample on each stage's first block) so converted
+    weights drop in layer-for-layer."""
     cfg: MaskRCNNConfig
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         dt = self.cfg.dtype
         x = x.astype(dt)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), dtype=dt, use_bias=False)(x)
-        x = nn.GroupNorm(num_groups=32, dtype=dt)(x)
+        # matterport: ZeroPadding2D(3) + 7x7/2 VALID (not SAME — explicit
+        # padding keeps converted weights pixel-aligned)
+        x = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="VALID",
+                    dtype=dt, use_bias=True)(x)
+        x = make_norm(self.cfg, 64)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
 
         def stage(x, filters, blocks, stride):
-            x = Bottleneck(filters, stride, dt)(x, train)
+            x = Bottleneck(self.cfg, filters, stride)(x, train)
             for _ in range(blocks - 1):
-                x = Bottleneck(filters, 1, dt)(x, train)
+                x = Bottleneck(self.cfg, filters, 1)(x, train)
             return x
 
-        c2 = stage(x, 64, 3, 1)     # stride 4
-        c3 = stage(c2, 128, 4, 2)   # stride 8
-        c4 = stage(c3, 256, 6, 2)   # stride 16
-        c5 = stage(c4, 512, 3, 2)   # stride 32
+        b = self.cfg.backbone_blocks
+        c2 = stage(x, 64, b[0], 1)     # stride 4
+        c3 = stage(c2, 128, b[1], 2)   # stride 8
+        c4 = stage(c3, 256, b[2], 2)   # stride 16
+        c5 = stage(c4, 512, b[3], 2)   # stride 32
 
         ch = self.cfg.fpn_channels
         p5 = nn.Conv(ch, (1, 1), dtype=dt)(c5)
@@ -267,31 +320,45 @@ def roi_align(feats, boxes: jnp.ndarray, out_size: int,
 
 
 class BoxHead(nn.Module):
+    """fpn_classifier_graph equivalent: the 7x7 'conv' collapses to a Dense
+    over the flattened roi (weights are reshape-compatible for conversion);
+    matterport puts a BN after each fc (mrcnn_class_bn1/2)."""
     cfg: MaskRCNNConfig
 
     @nn.compact
     def __call__(self, rois):
         dt = self.cfg.dtype
+        d = self.cfg.box_head_dim
         x = rois.reshape(rois.shape[0], -1).astype(dt)
-        x = nn.relu(nn.Dense(1024, dtype=dt)(x))
-        x = nn.relu(nn.Dense(1024, dtype=dt)(x))
-        logits = nn.Dense(self.cfg.num_classes, dtype=dt)(x)
-        deltas = nn.Dense(self.cfg.num_classes * 4, dtype=dt)(x)
+        x = nn.Dense(d, dtype=dt, name="fc1")(x)
+        x = make_norm(self.cfg, d)(x)
+        x = nn.relu(x)
+        x = nn.Dense(d, dtype=dt, name="fc2")(x)
+        x = make_norm(self.cfg, d)(x)
+        x = nn.relu(x)
+        logits = nn.Dense(self.cfg.num_classes, dtype=dt, name="cls")(x)
+        deltas = nn.Dense(self.cfg.num_classes * 4, dtype=dt, name="box")(x)
         return (logits.astype(jnp.float32),
                 deltas.reshape(-1, self.cfg.num_classes, 4).astype(jnp.float32))
 
 
 class MaskHead(nn.Module):
+    """build_fpn_mask_graph equivalent (4x conv+BN, deconv, 1x1 sigmoid
+    head — the sigmoid is applied by the loss/consumer)."""
     cfg: MaskRCNNConfig
 
     @nn.compact
     def __call__(self, rois):
         dt = self.cfg.dtype
+        ch = self.cfg.mask_head_channels
         x = rois.astype(dt)
-        for _ in range(4):
-            x = nn.relu(nn.Conv(256, (3, 3), dtype=dt)(x))
-        x = nn.relu(nn.ConvTranspose(256, (2, 2), strides=(2, 2), dtype=dt)(x))
-        x = nn.Conv(self.cfg.num_classes, (1, 1), dtype=dt)(x)
+        for i in range(4):
+            x = nn.Conv(ch, (3, 3), dtype=dt, name=f"conv{i + 1}")(x)
+            x = make_norm(self.cfg, ch)(x)
+            x = nn.relu(x)
+        x = nn.relu(nn.ConvTranspose(ch, (2, 2), strides=(2, 2), dtype=dt,
+                                     name="deconv")(x))
+        x = nn.Conv(self.cfg.num_classes, (1, 1), dtype=dt, name="out")(x)
         return x.astype(jnp.float32)
 
 
@@ -305,14 +372,21 @@ class MaskRCNN(nn.Module):
         self.mask_head = MaskHead(self.cfg)
         self.anchors = jnp.asarray(generate_anchors(self.cfg))
 
+    def _normalise(self, image):
+        if self.cfg.norm == "frozen_bn":
+            # matterport mold_image: RGB mean-pixel subtraction
+            return image - jnp.asarray([123.7, 116.8, 103.9], jnp.float32)
+        return (image - 127.5) / 127.5
+
     def _proposals(self, rpn_logits, rpn_deltas):
         """RPN scores + deltas -> post_nms_proposals boxes (single image)."""
         cfg = self.cfg
         scores = jax.nn.softmax(rpn_logits, axis=-1)[:, 1]
         k = min(cfg.pre_nms_limit, scores.shape[0])
         top_scores, top_idx = jax.lax.top_k(scores, k)
+        std = jnp.asarray(cfg.bbox_std, jnp.float32)
         boxes = apply_deltas(self.anchors[top_idx],
-                             rpn_deltas[top_idx] * 0.1)
+                             rpn_deltas[top_idx] * std)
         boxes = jnp.clip(boxes, 0.0, 1.0)
         sel, valid = nms_fixed(boxes, top_scores, cfg.post_nms_proposals,
                                cfg.rpn_nms_threshold)
@@ -324,7 +398,7 @@ class MaskRCNN(nn.Module):
         proposals, detections (boxes/classes/scores/valid) and per-detection
         mask logits."""
         cfg = self.cfg
-        x = (image - 127.5) / 127.5
+        x = self._normalise(image)
         feats = self.backbone(x, train)
         rpn_logits, rpn_deltas = self.rpn(feats)
 
@@ -345,7 +419,9 @@ class MaskRCNN(nn.Module):
         best_score = jnp.where(prop_valid, best_score, 0.0)
         det_deltas = jnp.take_along_axis(
             box_deltas, best_cls[:, None, None].repeat(4, -1), axis=1)[:, 0]
-        det_boxes = jnp.clip(apply_deltas(props, det_deltas * 0.1), 0.0, 1.0)
+        det_boxes = jnp.clip(apply_deltas(
+            props, det_deltas * jnp.asarray(cfg.bbox_std, jnp.float32)),
+            0.0, 1.0)
         sel, valid = nms_fixed(det_boxes, best_score, cfg.max_detections,
                                cfg.detection_nms_threshold)
         final_boxes = det_boxes[sel]
@@ -366,6 +442,44 @@ class MaskRCNN(nn.Module):
         )[..., 0]
         out["mask_logits"] = det_masks
         return out
+
+    def train_losses(self, image, gt_boxes, gt_classes, gt_valid, gt_masks,
+                     rng):
+        """End-to-end training losses for one image: RPN class/box + box-head
+        class/box + mask head, with proposal-target sampling between the RPN
+        and the heads (the reference network is trained exactly this way in
+        matterport's train(); MaskRCNN.py.in consumes those weights).
+
+        gt_masks: (G, Hm, Wm) float binary instance masks (full image)."""
+        cfg = self.cfg
+        x = self._normalise(image)
+        feats = self.backbone(x, True)
+        rpn_logits, rpn_deltas = self.rpn(feats)
+        l_rpn = rpn_loss(rpn_logits[0], rpn_deltas[0], self.anchors,
+                         gt_boxes, gt_valid, cfg)
+
+        props, prop_valid = self._proposals(rpn_logits[0], rpn_deltas[0])
+        props = jax.lax.stop_gradient(props)
+        # augment the training pool with the gt boxes themselves so positive
+        # rois exist from step 0 (else the heads only ever see background
+        # until the RPN converges — the standard detectron trick)
+        props = jnp.concatenate([props, gt_boxes.astype(props.dtype)])
+        prop_valid = jnp.concatenate([prop_valid, gt_valid])
+        tgt = proposal_targets(rng, props, prop_valid, gt_boxes, gt_classes,
+                               gt_valid, gt_masks, cfg)
+
+        rois = roi_align(feats, tgt.rois, cfg.roi_pool_size, cfg)
+        cls_logits, box_deltas = self.box_head(rois)
+        l_cls, l_box = box_head_loss(cls_logits, box_deltas, tgt)
+
+        mask_rois = roi_align(feats, tgt.rois, cfg.mask_pool_size, cfg)
+        mask_logits = self.mask_head(mask_rois)
+        l_mask = mask_head_loss(mask_logits, tgt)
+
+        return {
+            "rpn": l_rpn, "class": l_cls, "box": l_box, "mask": l_mask,
+            "total": l_rpn + l_cls + l_box + l_mask,
+        }
 
 
 # --------------------------------------------------------------------------
@@ -395,7 +509,7 @@ def rpn_targets(anchors: jnp.ndarray, gt_boxes: jnp.ndarray,
         ((gt[:, 0] + gh / 2) - (anchors[:, 0] + ah / 2)) / ah,
         ((gt[:, 1] + gw / 2) - (anchors[:, 1] + aw / 2)) / aw,
         jnp.log(gh / ah), jnp.log(gw / aw),
-    ], -1) / 0.1
+    ], -1) / jnp.asarray(cfg.bbox_std, jnp.float32)
     return labels, deltas
 
 
@@ -410,3 +524,134 @@ def rpn_loss(rpn_logits, rpn_deltas, anchors, gt_boxes, gt_valid,
     l1 = jnp.sum(jnp.abs(rpn_deltas - target_deltas), -1)
     box_loss = jnp.sum(jnp.where(pos, l1, 0.0)) / jnp.maximum(jnp.sum(pos), 1)
     return cls_loss + box_loss
+
+
+# --------------------------------------------------------------------------
+# Head training: proposal-target sampling + box/mask losses
+# (matterport DetectionTargetLayer semantics, MaskRCNN.py.in model config)
+# --------------------------------------------------------------------------
+
+def box_deltas_between(src: jnp.ndarray, dst: jnp.ndarray,
+                       cfg: MaskRCNNConfig) -> jnp.ndarray:
+    """(dy, dx, log dh, log dw) refinement targets src -> dst, normalised by
+    BBOX_STD_DEV."""
+    sh = jnp.clip(src[:, 2] - src[:, 0], 1e-6)
+    sw = jnp.clip(src[:, 3] - src[:, 1], 1e-6)
+    dh = jnp.clip(dst[:, 2] - dst[:, 0], 1e-6)
+    dw = jnp.clip(dst[:, 3] - dst[:, 1], 1e-6)
+    return jnp.stack([
+        ((dst[:, 0] + dh / 2) - (src[:, 0] + sh / 2)) / sh,
+        ((dst[:, 1] + dw / 2) - (src[:, 1] + sw / 2)) / sw,
+        jnp.log(dh / sh), jnp.log(dw / sw),
+    ], -1) / jnp.asarray(cfg.bbox_std, jnp.float32)
+
+
+def crop_masks_to_boxes(gt_masks: jnp.ndarray, boxes: jnp.ndarray,
+                        out_size: int) -> jnp.ndarray:
+    """Bilinearly resample each instance mask (N, H, W) to its box's
+    out_size^2 grid — the mask-head target crop (matterport
+    DetectionTargetLayer's tf.image.crop_and_resize)."""
+    N, H, W = gt_masks.shape
+    ys = jnp.linspace(0.0, 1.0, out_size)
+    xs = jnp.linspace(0.0, 1.0, out_size)
+    h = boxes[:, 2] - boxes[:, 0]
+    w = boxes[:, 3] - boxes[:, 1]
+    gy = (boxes[:, 0:1] + ys[None, :] * h[:, None]) * H - 0.5   # (N, S)
+    gx = (boxes[:, 1:2] + xs[None, :] * w[:, None]) * W - 0.5
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    wy = (gy - y0)[:, :, None]
+    wx = (gx - x0)[:, None, :]
+
+    def g(yi, xi):
+        yi = jnp.clip(yi, 0, H - 1)
+        xi = jnp.clip(xi, 0, W - 1)
+        idx = yi[:, :, None] * W + xi[:, None, :]           # (N, S, S)
+        flat = gt_masks.reshape(N, H * W)
+        return jnp.take_along_axis(flat, idx.reshape(N, -1),
+                                   axis=1).reshape(N, out_size, out_size)
+
+    v00 = g(y0, x0)
+    v01 = g(y0, x0 + 1)
+    v10 = g(y0 + 1, x0)
+    v11 = g(y0 + 1, x0 + 1)
+    return (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
+            + v10 * wy * (1 - wx) + v11 * wy * wx)
+
+
+class ProposalTargets(NamedTuple):
+    rois: jnp.ndarray           # (T, 4) sampled training rois
+    target_class: jnp.ndarray   # (T,) int32, 0 = background
+    target_deltas: jnp.ndarray  # (T, 4) for the target class
+    target_masks: jnp.ndarray   # (T, 2*mask_pool, 2*mask_pool) in [0,1]
+    positive: jnp.ndarray       # (T,) bool
+    valid: jnp.ndarray          # (T,) bool (positive or sampled negative)
+
+
+def proposal_targets(rng, proposals: jnp.ndarray, prop_valid: jnp.ndarray,
+                     gt_boxes: jnp.ndarray, gt_classes: jnp.ndarray,
+                     gt_valid: jnp.ndarray, gt_masks: jnp.ndarray,
+                     cfg: MaskRCNNConfig) -> ProposalTargets:
+    """Sample train_rois proposals into positives (IoU >= 0.5, matterport
+    ratio 0.33) and negatives, with class/box/mask targets — a static-shape
+    DetectionTargetLayer."""
+    T = cfg.train_rois
+    n_pos = int(round(T * cfg.roi_positive_ratio))
+
+    iou = box_iou(proposals, gt_boxes)
+    iou = jnp.where(gt_valid[None, :] & prop_valid[:, None], iou, 0.0)
+    best_iou = jnp.max(iou, axis=1)
+    best_gt = jnp.argmax(iou, axis=1)
+
+    is_pos = prop_valid & (best_iou >= cfg.roi_positive_iou)
+    is_neg = prop_valid & (best_iou < cfg.roi_positive_iou)
+
+    r_pos, r_neg = jax.random.uniform(rng, (2, proposals.shape[0]))
+    pos_score = jnp.where(is_pos, r_pos, -1.0)
+    _, pos_idx = jax.lax.top_k(pos_score, n_pos)
+    pos_ok = pos_score[pos_idx] >= 0.0
+    neg_score = jnp.where(is_neg, r_neg, -1.0)
+    _, neg_idx = jax.lax.top_k(neg_score, T - n_pos)
+    neg_ok = neg_score[neg_idx] >= 0.0
+
+    sel = jnp.concatenate([pos_idx, neg_idx])
+    positive = jnp.concatenate([pos_ok, jnp.zeros(T - n_pos, bool)])
+    valid = jnp.concatenate([pos_ok, neg_ok])
+
+    rois = proposals[sel]
+    gt_idx = best_gt[sel]
+    tgt_cls = jnp.where(positive, gt_classes[gt_idx], 0).astype(jnp.int32)
+    tgt_deltas = box_deltas_between(rois, gt_boxes[gt_idx], cfg)
+    tgt_masks = crop_masks_to_boxes(gt_masks[gt_idx], rois,
+                                    cfg.mask_pool_size * 2)
+    return ProposalTargets(rois, tgt_cls, tgt_deltas, tgt_masks,
+                           positive, valid)
+
+
+def box_head_loss(cls_logits, box_deltas, tgt: ProposalTargets):
+    """Class CE over sampled rois + smooth-L1 on positives' target class
+    (mrcnn_class_loss + mrcnn_bbox_loss)."""
+    T = cls_logits.shape[0]
+    ce = -jax.nn.log_softmax(cls_logits)[jnp.arange(T), tgt.target_class]
+    cls_loss = (jnp.sum(jnp.where(tgt.valid, ce, 0.0))
+                / jnp.maximum(jnp.sum(tgt.valid), 1))
+    sel = jnp.take_along_axis(
+        box_deltas, tgt.target_class[:, None, None].repeat(4, -1), axis=1
+    )[:, 0]
+    diff = jnp.abs(sel - tgt.target_deltas)
+    sl1 = jnp.sum(jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5), -1)
+    box_loss = (jnp.sum(jnp.where(tgt.positive, sl1, 0.0))
+                / jnp.maximum(jnp.sum(tgt.positive), 1))
+    return cls_loss, box_loss
+
+
+def mask_head_loss(mask_logits, tgt: ProposalTargets):
+    """Per-pixel binary CE at the target class channel (mrcnn_mask_loss)."""
+    T = mask_logits.shape[0]
+    sel = jnp.take_along_axis(
+        mask_logits, tgt.target_class[:, None, None, None], axis=-1)[..., 0]
+    y = tgt.target_masks
+    bce = jnp.maximum(sel, 0) - sel * y + jnp.log1p(jnp.exp(-jnp.abs(sel)))
+    per_roi = jnp.mean(bce, axis=(1, 2))
+    return (jnp.sum(jnp.where(tgt.positive, per_roi, 0.0))
+            / jnp.maximum(jnp.sum(tgt.positive), 1))

@@ -66,34 +66,59 @@ def clean(
 
     # --- free-space violation counts over the window
     #     (copy_unstable.vert:87-115): 9 unique taps with multiplicities
-    #     reproduce the reference's duplicate-counted 16 half-pixel samples;
-    #     one packed row-gather per tap ---
-    from maskfusion_tpu.ops.fuse import half_pixel_taps_unique
-
-    # lean 8-wide row table: only the fields the violation tests read
+    #     reproduce the reference's duplicate-counted 16 half-pixel samples.
+    #     All 9 taps ride ONE 64-wide row-gather: the 3x3 neighbourhood is
+    #     pre-flattened into a (H*W, 63) table by static 2D shifts (TPU
+    #     row-gathers cost ~flat in row width; 9 separate 8-wide gathers were
+    #     the dominant clean cost).  idx is stored +1 so the zero padding of
+    #     out-of-image taps reads as invalid. ---
     n_px = H * W
-    packed = jnp.concatenate([
-        index_map.pos.reshape(n_px, 3),
-        index_map.conf.reshape(n_px, 1),
-        index_map.init_time.reshape(n_px, 1),
-        index_map.last_seen.reshape(n_px, 1),
-        index_map.index.reshape(n_px, 1).astype(jnp.float32),
-        jnp.zeros((n_px, 1), jnp.float32),
-    ], axis=1)
+    fields = jnp.concatenate([
+        index_map.pos,                                        # 0:3
+        index_map.conf[..., None],                            # 3
+        index_map.init_time[..., None],                       # 4
+        index_map.last_seen[..., None],                       # 5
+        (index_map.index + 1).astype(jnp.float32)[..., None],  # 6 (0=invalid)
+    ], axis=-1)                                               # (H, W, 7)
+    taps = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            pad = [(max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx)),
+                   (0, 0)]
+            p = jnp.pad(fields, pad)
+            taps.append(p[max(0, dy):max(0, dy) + H,
+                          max(0, dx):max(0, dx) + W])
+    wide = jnp.concatenate(
+        taps + [jnp.zeros((H, W, 1), jnp.float32)], axis=-1
+    ).reshape(n_px, 64)
+
+    kx = jnp.floor(x)
+    ky = jnp.floor(y)
+    kxi = jnp.clip(kx.astype(jnp.int32), 0, W - 1)
+    kyi = jnp.clip(ky.astype(jnp.int32), 0, H - 1)
+    rows = wide[kyi * W + kxi]                                # ONE gather
+
+    # per-axis tap multiplicities of the 16 half-pixel samples
+    # (fuse.half_pixel_taps_unique): (2,2,0) when frac<0.5 else (1,2,1)
+    fx_lo = (x - kx) < 0.5
+    fy_lo = (y - ky) < 0.5
+    mx = (jnp.where(fx_lo, 2, 1), jnp.full_like(kxi, 2),
+          jnp.where(fx_lo, 0, 1))
+    my = (jnp.where(fy_lo, 2, 1), jnp.full_like(kyi, 2),
+          jnp.where(fy_lo, 0, 1))
 
     count = jnp.zeros((m.capacity,), jnp.int32)
     zcount = jnp.zeros((m.capacity,), jnp.int32)
-    for ty, tx, mult in half_pixel_taps_unique(x, y):
-        in_img = (ty >= 0) & (ty < H) & (tx >= 0) & (tx < W)
-        linp = jnp.clip(ty, 0, H - 1) * W + jnp.clip(tx, 0, W - 1)
-        rows = packed[linp]
-        c_idx = rows[:, 6].astype(jnp.int32)
-        c_pos = rows[:, 0:3]
-        c_conf = rows[:, 3]
-        c_it = rows[:, 4]
-        c_ls = rows[:, 5]
+    for k in range(9):
+        r = rows[:, 7 * k:7 * k + 7]
+        c_pos = r[:, 0:3]
+        c_conf = r[:, 3]
+        c_it = r[:, 4]
+        c_ls = r[:, 5]
+        c_live = r[:, 6] >= 1.0          # idx+1 > 0 and tap in-image
+        mult = my[k // 3] * mx[k % 3]
 
-        base = in_view & in_img & (c_idx >= 0) & (c_conf > conf_threshold) & (
+        base = in_view & c_live & (c_conf > conf_threshold) & (
             c_pos[:, 2] > lz
         )
         xy_dist = jnp.linalg.norm(c_pos[:, :2] - lp[:, :2], axis=-1)

@@ -32,25 +32,42 @@ def create_train_step(
     cfg: MaskRCNNConfig,
     mesh: Mesh,
     learning_rate: float = 1e-4,
+    full_loss: bool = True,
 ):
     """Returns (init_fn, step_fn) where step_fn is jitted with sharded
-    in/out: batch on 'dp', params FSDP on 'mp'."""
+    in/out: batch on 'dp', params FSDP on 'mp'.
+
+    full_loss=True optimises the complete Mask R-CNN objective (RPN class/
+    box + box-head class/box + mask head via proposal-target sampling,
+    MaskRCNN.train_losses); False keeps the cheap RPN-only warm-up path.
+    The step takes (state, rng, images, gt_boxes, gt_classes, gt_valid,
+    gt_masks)."""
     model = MaskRCNN(cfg)
     anchors = jnp.asarray(generate_anchors(cfg))
     tx = optax.adam(learning_rate)
 
-    def loss_fn(params, images, gt_boxes, gt_valid):
-        def single(img, boxes, valid):
+    def loss_fn(params, rng, images, gt_boxes, gt_classes, gt_valid,
+                gt_masks):
+        def single(rng_i, img, boxes, classes, valid, masks):
+            if full_loss:
+                losses = model.apply(
+                    params, img[None], boxes, classes, valid, masks, rng_i,
+                    method=MaskRCNN.train_losses)
+                return losses["total"]
             out = model.apply(params, img[None])
             return rpn_loss(out["rpn_logits"][0], out["rpn_deltas"][0],
                             anchors, boxes, valid, cfg)
 
-        losses = jax.vmap(single)(images, gt_boxes, gt_valid)
+        rngs = jax.random.split(rng, images.shape[0])
+        losses = jax.vmap(single)(rngs, images, gt_boxes, gt_classes,
+                                  gt_valid, gt_masks)
         return jnp.mean(losses)
 
-    def step_fn(state: TrainState, images, gt_boxes, gt_valid):
+    def step_fn(state: TrainState, rng, images, gt_boxes, gt_classes,
+                gt_valid, gt_masks):
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, images, gt_boxes, gt_valid
+            state.params, rng, images, gt_boxes, gt_classes, gt_valid,
+            gt_masks
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -68,7 +85,8 @@ def create_train_step(
 
     jitted = jax.jit(
         step_fn,
-        in_shardings=(None, batch_sh, batch_sh, batch_sh),
+        in_shardings=(None, repl, batch_sh, batch_sh, batch_sh, batch_sh,
+                      batch_sh),
         out_shardings=(None, repl),
         donate_argnums=(0,),
     )

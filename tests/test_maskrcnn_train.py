@@ -1,0 +1,245 @@
+"""Mask R-CNN end-to-end trainability + detection quality + weight import.
+
+The reference runs a *trained* matterport network (MaskRCNN.py.in:40-68
+loads model_path weights; score threshold 0.55, config.toml.in:33).  No
+pretrained weights exist in this environment, so (a) detection quality is
+demonstrated by training the full loss stack on a synthetic shapes domain
+to quantitative thresholds, and (b) the matterport .h5 conversion path is
+verified by writing a Keras-layout file and round-tripping it.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from maskfusion_tpu.maskrcnn.model import (
+    MaskRCNN, MaskRCNNConfig, crop_masks_to_boxes, proposal_targets,
+)
+from maskfusion_tpu.maskrcnn.synthetic_shapes import (
+    box_iou_np, make_shapes_scene,
+)
+
+MICRO = MaskRCNNConfig(
+    num_classes=3, image_size=64,
+    anchor_scales=(8, 16, 32, 64, 128), anchor_ratios=(1.0,),
+    pre_nms_limit=128, post_nms_proposals=32, max_detections=4,
+    roi_pool_size=7, mask_pool_size=7,
+    fpn_channels=32, box_head_dim=64, mask_head_channels=32,
+    backbone_blocks=(1, 1, 1, 1),
+    train_rois=16, roi_positive_ratio=0.5, score_threshold=0.0,
+    rpn_positive_iou=0.5, dtype=jnp.float32,
+)
+
+
+def test_proposal_targets_sampling():
+    cfg = MICRO
+    props = jnp.array([
+        [0.10, 0.10, 0.50, 0.50],    # IoU 1.0 with gt0  -> positive
+        [0.12, 0.12, 0.52, 0.52],    # high IoU          -> positive
+        [0.60, 0.60, 0.90, 0.90],    # no overlap        -> negative
+        [0.00, 0.00, 0.05, 0.05],    # no overlap        -> negative
+    ] + [[0.0, 0.0, 0.0, 0.0]] * 4)
+    prop_valid = jnp.array([True] * 4 + [False] * 4)
+    gt_boxes = jnp.array([[0.10, 0.10, 0.50, 0.50]])
+    gt_classes = jnp.array([2], jnp.int32)
+    gt_valid = jnp.array([True])
+    gt_masks = jnp.ones((1, 16, 16), jnp.float32)
+
+    tgt = proposal_targets(jax.random.PRNGKey(0), props, prop_valid,
+                           gt_boxes, gt_classes, gt_valid, gt_masks, cfg)
+    pos = np.asarray(tgt.positive)
+    valid = np.asarray(tgt.valid)
+    cls = np.asarray(tgt.target_class)
+    assert pos.sum() == 2                       # both high-IoU proposals
+    assert (cls[pos] == 2).all()                # positives get the gt class
+    assert (cls[valid & ~pos] == 0).all()       # negatives are background
+    # positive target deltas are ~0 for the exact-match proposal
+    exact = np.asarray(tgt.rois)[pos][
+        np.argmin(np.abs(np.asarray(tgt.rois)[pos][:, 0] - 0.10))]
+    np.testing.assert_allclose(exact, [0.10, 0.10, 0.50, 0.50], atol=1e-6)
+    # mask targets for positives are (nearly) all-ones (gt mask is all-ones)
+    assert float(np.asarray(tgt.target_masks)[pos].mean()) > 0.99
+
+
+def test_crop_masks_to_boxes():
+    m = np.zeros((1, 32, 32), np.float32)
+    m[0, 8:16, 8:24] = 1.0
+    # box exactly covering the mask -> crop is all ones
+    crop = np.asarray(crop_masks_to_boxes(
+        jnp.asarray(m), jnp.array([[8 / 32, 8 / 32, 16 / 32, 24 / 32]]), 8))
+    assert crop.shape == (1, 8, 8)
+    assert crop[0, 1:-1, 1:-1].min() > 0.9      # interior solid
+    # box over empty region -> zeros
+    crop0 = np.asarray(crop_masks_to_boxes(
+        jnp.asarray(m), jnp.array([[0.7, 0.7, 0.95, 0.95]]), 8))
+    assert crop0.max() < 1e-6
+
+
+@pytest.mark.slow
+def test_train_shapes_detection_quality():
+    """Train the full loss stack (RPN + box head + mask head) on synthetic
+    shapes and require real detection quality — localisation, class and
+    mask IoU — on held-out scenes.  ~2.5 min on this box's CPU."""
+    model = MaskRCNN(MICRO)
+    rng = np.random.default_rng(0)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, key, img, boxes, classes, valid, masks):
+        def loss_fn(p):
+            out = model.apply(p, img[None], boxes, classes, valid, masks,
+                              key, method=MaskRCNN.train_losses)
+            return out["total"], out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt, loss, out
+
+    losses = []
+    for i in range(700):
+        img, b, c, v, m = make_shapes_scene(rng, 64)
+        params, opt, loss, parts = step(
+            params, opt, jax.random.PRNGKey(i), jnp.asarray(img),
+            jnp.asarray(b), jnp.asarray(c), jnp.asarray(v), jnp.asarray(m))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    # every component trains: total drops well below the start
+    assert np.mean(losses[-20:]) < 0.6 * np.mean(losses[:10])
+
+    fwd = jax.jit(lambda p, im: model.apply(p, im))
+    ious, cls_ok, scores_l, mask_ious = [], [], [], []
+    for i in range(12):
+        img, b, c, v, m = make_shapes_scene(rng, 64, max_objects=1)
+        out = fwd(params, jnp.asarray(img)[None])
+        scores = np.asarray(out["detection_scores"])
+        k = int(np.argmax(scores))
+        det = np.asarray(out["detections"])[k]
+        ious.append(box_iou_np(det, b[0]))
+        cls_ok.append(
+            int(np.asarray(out["detection_classes"])[k]) == int(c[0]))
+        scores_l.append(scores[k])
+        # paste the 14x14 mask into the detected box, IoU vs the gt mask
+        ml = np.asarray(out["mask_logits"])[k] > 0
+        S = MICRO.image_size
+        y1, x1, y2, x2 = np.clip((det * S).astype(int), 0, S)
+        y2, x2 = max(y2, y1 + 1), max(x2, x1 + 1)
+        yy, xx = np.mgrid[y1:y2, x1:x2]
+        my = np.clip(((yy - y1) / (y2 - y1) * ml.shape[0]).astype(int),
+                     0, ml.shape[0] - 1)
+        mx = np.clip(((xx - x1) / (x2 - x1) * ml.shape[1]).astype(int),
+                     0, ml.shape[1] - 1)
+        pred = np.zeros((S, S), bool)
+        pred[y1:y2, x1:x2] = ml[my, mx]
+        gtm = m[0] > 0.5
+        mask_ious.append((pred & gtm).sum() / max((pred | gtm).sum(), 1))
+
+    # measured on this recipe: det IoU ~0.82, cls acc 1.0, mask IoU ~0.84,
+    # mean score ~0.8 — thresholds leave generous margin for seed noise
+    assert np.mean(ious) >= 0.5, f"det IoU {np.mean(ious):.3f}"
+    assert np.mean(cls_ok) >= 0.75, f"cls acc {np.mean(cls_ok):.2f}"
+    assert np.mean(mask_ious) >= 0.5, f"mask IoU {np.mean(mask_ious):.3f}"
+    # detections clear the reference's 0.55 operating threshold
+    assert np.mean(scores_l) >= 0.55, f"score {np.mean(scores_l):.3f}"
+
+
+def test_matterport_weight_conversion_roundtrip(tmp_path):
+    """Write a Keras-layout .h5 with matterport's layer names and verify the
+    converter produces a drop-in parameter tree that runs inference."""
+    h5py = pytest.importorskip("h5py")
+    from maskfusion_tpu.maskrcnn.convert import convert_matterport_h5
+
+    cfg = MaskRCNNConfig(
+        num_classes=4, image_size=64,
+        anchor_scales=(8, 16, 32, 64, 128), anchor_ratios=(1.0,),
+        pre_nms_limit=64, post_nms_proposals=16, max_detections=4,
+        roi_pool_size=7, mask_pool_size=7,
+        fpn_channels=32, box_head_dim=64, mask_head_channels=32,
+        backbone_blocks=(1, 2, 1, 1),     # stage with an identity block too
+        norm="frozen_bn", dtype=jnp.float32,
+    )
+    model = MaskRCNN(cfg)
+    ref = model.init(jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)))
+
+    # invert the converter's mapping to write the Keras layout
+    path = str(tmp_path / "fake_matterport.h5")
+    rngs = np.random.default_rng(0)
+
+    def w(g, layer, names_arrays):
+        grp = g.create_group(layer) if layer not in g else g[layer]
+        for n, a in names_arrays.items():
+            grp.create_dataset(f"{layer}/{n}:0", data=a)
+
+    def conv_of(p):
+        return {"kernel": np.asarray(p["kernel"]),
+                "bias": np.asarray(p["bias"])}
+
+    def bn_of(p):
+        return {"gamma": np.asarray(p["scale"]),
+                "beta": np.asarray(p["bias"]),
+                "moving_mean": np.asarray(p["mean"]),
+                "moving_variance": np.asarray(p["var"])}
+
+    bb = ref["params"]["backbone"]
+    with h5py.File(path, "w") as f:
+        w(f, "conv1", conv_of(bb["Conv_0"]))
+        w(f, "bn_conv1", bn_of(bb["FrozenBatchNorm_0"]))
+        bi = 0
+        for stage, blocks in zip((2, 3, 4, 5), cfg.backbone_blocks):
+            for k in range(blocks):
+                blk = chr(ord("a") + k)
+                p = bb[f"Bottleneck_{bi}"]
+                for j, br in enumerate(("2a", "2b", "2c")):
+                    w(f, f"res{stage}{blk}_branch{br}", conv_of(p[f"Conv_{j}"]))
+                    w(f, f"bn{stage}{blk}_branch{br}",
+                      bn_of(p[f"FrozenBatchNorm_{j}"]))
+                if k == 0:
+                    w(f, f"res{stage}{blk}_branch1", conv_of(p["Conv_3"]))
+                    w(f, f"bn{stage}{blk}_branch1",
+                      bn_of(p["FrozenBatchNorm_3"]))
+                bi += 1
+        for i, name in enumerate(
+                ("fpn_c5p5", "fpn_c4p4", "fpn_c3p3", "fpn_c2p2",
+                 "fpn_p2", "fpn_p3", "fpn_p4", "fpn_p5"), start=1):
+            w(f, name, conv_of(bb[f"Conv_{i}"]))
+        rpn = ref["params"]["rpn"]
+        w(f, "rpn_conv_shared", conv_of(rpn["rpn_conv"]))
+        w(f, "rpn_class_raw", conv_of(rpn["rpn_cls"]))
+        w(f, "rpn_bbox_pred", conv_of(rpn["rpn_box"]))
+        bh = ref["params"]["box_head"]
+        S, C = cfg.roi_pool_size, cfg.fpn_channels
+        k1 = np.asarray(bh["fc1"]["kernel"]).reshape(S, S, C, -1)
+        w(f, "mrcnn_class_conv1",
+          {"kernel": k1, "bias": np.asarray(bh["fc1"]["bias"])})
+        w(f, "mrcnn_class_bn1", bn_of(bh["FrozenBatchNorm_0"]))
+        k2 = np.asarray(bh["fc2"]["kernel"])[None, None]
+        w(f, "mrcnn_class_conv2",
+          {"kernel": k2, "bias": np.asarray(bh["fc2"]["bias"])})
+        w(f, "mrcnn_class_bn2", bn_of(bh["FrozenBatchNorm_1"]))
+        w(f, "mrcnn_class_logits", conv_of(bh["cls"]))
+        w(f, "mrcnn_bbox_fc", conv_of(bh["box"]))
+        mh = ref["params"]["mask_head"]
+        for i in range(4):
+            w(f, f"mrcnn_mask_conv{i + 1}", conv_of(mh[f"conv{i + 1}"]))
+            w(f, f"mrcnn_mask_bn{i + 1}", bn_of(mh[f"FrozenBatchNorm_{i}"]))
+        kd = np.asarray(mh["deconv"]["kernel"])      # flax (kh,kw,in,out)
+        kd = kd[::-1, ::-1].transpose(0, 1, 3, 2)    # keras (kh,kw,out,in)
+        w(f, "mrcnn_mask_deconv",
+          {"kernel": kd, "bias": np.asarray(mh["deconv"]["bias"])})
+        w(f, "mrcnn_mask", conv_of(mh["out"]))
+
+    params = convert_matterport_h5(path, cfg)
+    # exact roundtrip: converted tree equals the source tree
+    flat_a = jax.tree_util.tree_leaves_with_path(ref)
+    flat_b = {tuple(str(k.key) for k in p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(params)}
+    for p, va in flat_a:
+        vb = flat_b[tuple(str(k.key) for k in p)]
+        np.testing.assert_allclose(np.asarray(va), vb, atol=1e-6,
+                                   err_msg=str(p))
+    # and the converted tree runs inference
+    out = MaskRCNN(cfg).apply(params, jnp.zeros((1, 64, 64, 3)))
+    assert np.isfinite(np.asarray(out["class_logits"])).all()
