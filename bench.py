@@ -45,17 +45,19 @@ def main():
                         CameraIntrinsics(528.0, 528.0, 320.0, 240.0), cfg)
 
     n_timed = 20
-    frames = make_frames(W, H, n_timed + 2)
-    # warmup: init + compile + one full sync
-    engine.process_frame(frames[0])
-    engine.process_frame(frames[1])
+    frames = make_frames(W, H, n_timed + 4)
+    # warmup: init + compile + one full sync.  Four frames so BOTH static
+    # checkerboard parities of the fused step are compiled before timing
+    # starts (parity is a static jit argument).
+    for f in frames[:4]:
+        engine.process_frame(f)
     engine.flush_diagnostics()
 
     # honest pipelined throughput: frames are enqueued without per-frame
     # host syncs; the clock stops only after the LAST frame's diagnostics
     # arrive, so queued work cannot masquerade as done.
     t0 = time.perf_counter()
-    for f in frames[2:]:
+    for f in frames[4:]:
         engine.process_frame(f)
     engine.flush_diagnostics()
     total = time.perf_counter() - t0

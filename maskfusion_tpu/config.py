@@ -40,6 +40,14 @@ class Config:
     object_icp_weight: float = 100.0
     rgb_only: bool = False
     frame_to_frame_rgb: bool = False           # -ftf
+    # Frozen-association GN: refresh the projective correspondence search
+    # (the two random row-gathers that dominate TPU tracking cost) only
+    # every N iterations per pyramid level; the iterations in between
+    # re-linearise against the frozen matches.  1 = reference behaviour
+    # (re-search every iteration, reduce.cu:292-366).  Synthetic pose
+    # recovery at period 5 is within 0.5% of period 1 (5.61 vs 5.59 mm)
+    # while halving the search gathers that dominate tracking cost.
+    assoc_period: int = 5
     dist_threshold: float = 0.10               # m, RGBDOdometry.h:35
     angle_threshold_sine: float = 0.34202      # sin(20deg), RGBDOdometry.h:36
     max_depth_delta_rgb: float = 0.07          # RGBDOdometry.cpp:33
@@ -78,6 +86,12 @@ class Config:
     # --- model lifecycle (MaskFusion.cpp) ---
     static_mode: bool = False                  # -static
     model_spawn_offset: int = 22               # GUI.h:347 (frames between spawns)
+    # Spawn subtraction: carve global surfels inside a freshly spawned
+    # object's mask region (Model::eraseErrorGeometry, Model.cpp:774-887).
+    # The reference hardcodes enableSpawnSubtraction=false
+    # (MaskFusion.cpp:355-358); same default here.
+    spawn_subtraction: bool = False
+    spawn_subtraction_window: float = 0.05     # depth agreement window (m)
     model_deactivate_jump: float = 0.2         # translation jump -> deactivate (:267-272)
     keep_all_models: bool = False              # -keep
     min_surfels_keep: int = 4000               # smart-delete (:699-713)

@@ -94,10 +94,19 @@ class Model:
     max_depth: float = 100.0
     prev_pose: Optional[np.ndarray] = None
     pose_log: List = dataclasses.field(default_factory=list)
+    last_bucket: int = 0      # shrink-hysteresis input for choose_bucket
 
     @property
     def surfel_count(self) -> int:
         return int(self.state.map.count)
+
+    def bucket(self) -> int:
+        from maskfusion_tpu.mapping import surfel_map as _sm
+
+        b = _sm.choose_bucket(self.surfel_count, self.state.map.capacity,
+                              current=self.last_bucket)
+        self.last_bucket = b
+        return b
 
 
 class MaskFusion:
@@ -209,6 +218,7 @@ class MaskFusion:
                 min_grad_magnitudes=cfg.min_grad_magnitudes,
                 translation_jump_limit=cfg.translation_jump_limit,
                 num_levels=cfg.num_pyr_levels,
+                assoc_period=cfg.assoc_period,
             )
             pose = se3.make_pose(res.R, res.t)
             return TrackResult(
@@ -223,7 +233,8 @@ class MaskFusion:
         def fuse_clean_predict(state: MapState, prep: Preprocessed, rgb,
                                seg_mask, prev_pose, time, mask_id,
                                conf_threshold, max_depth, weight_multiplier,
-                               allow_fill_in: bool, bucket: int):
+                               allow_fill_in: bool, bucket: int,
+                               parity: "int | None" = None):
             pose = state.pose
             pose_inv = se3.pose_inverse(pose)
             if cfg.velocity_fusion_weight:
@@ -244,27 +255,35 @@ class MaskFusion:
                 rgb, seg_mask, mask_id, pose, intr, time, weighting,
                 max_depth,
                 checkerboard=cfg.fuse_subsample_checkerboard,
+                parity=parity,
                 merge_z_thresh=cfg.surfel_merge_z_thresh,
             )
-            im2 = splat_ops.render_index_map(
-                fres.map, pose_inv, intr, H, W, time, time_delta, max_depth,
-            )
+            # clean tests every surfel against the PRE-fuse index render —
+            # exactly the reference's schedule (Model::clean consumes the
+            # indexMap rendered by predictIndices before fuse,
+            # MaskFusion.cpp:341-352); no second z-buffer render is needed.
             cres = clean_ops.clean(
-                fres.map, im2, prep.filt_depth, seg_mask, mask_id, pose_inv,
+                fres.map, im1, prep.filt_depth, seg_mask, mask_id, pose_inv,
                 intr, time, time_delta, conf_threshold, max_depth,
                 cfg.outlier_coefficient,
                 unstable_time_limit=cfg.unstable_time_limit,
             )
             final_map = sm.write_back(full_map, cres.map)
-            # prediction reuses the post-fuse index map with clean's keep
-            # mask gating the candidates — saves a full index render
-            idx = im2.index
-            keep_img = jnp.where(
-                idx >= 0, cres.keep[jnp.clip(idx, 0)], False)
-            im2_gated = im2._replace(
-                index=jnp.where(keep_img, idx, -1))
-            pred = splat_ops.combined_predict(im2_gated, intr,
-                                              cfg.depth_cutoff)
+            # prediction reuses the morning render updated to post-fuse/clean
+            # state by one packed row-gather + a dense overlay of the
+            # appended surfels (ops/splat.post_fuse_snapshot) — this removes
+            # the second sort-based index render from the frame
+            conf_px = sm.pixel_confidence(H, W, intr, 1.0) * weighting
+            rad_px = sm.radius_from_depth(
+                prep.levels[0]["vmap"][..., 2],
+                prep.levels[0]["nmap"][..., 2], intr)
+            snap = splat_ops.post_fuse_snapshot(
+                im1, fres.map.pos, fres.map.normal, fres.map.color,
+                fres.map.radius, fres.map.init_time, cres.conf, cres.keep,
+                work.count, fres.new_pixels,
+                prep.vmap_raw, prep.levels[0]["nmap"], rgb, conf_px, rad_px,
+                time, pose_inv)
+            pred = splat_ops.combined_predict(snap, intr, cfg.depth_cutoff)
             if allow_fill_in:
                 # fill-in is enabled for the global model only — object
                 # predictions must stay object-only or tracking would lock
@@ -290,11 +309,11 @@ class MaskFusion:
 
         self._fuse_clean_predict = jax.jit(
             fuse_clean_predict, donate_argnums=(0,),
-            static_argnames=("allow_fill_in", "bucket"),
+            static_argnames=("allow_fill_in", "bucket", "parity"),
         )
 
         def fused_static_step(state: MapState, rgb, depth, time,
-                              bucket: int):
+                              bucket: int, parity: "int | None"):
             """preprocess + track + fuse + clean + predict in ONE dispatch —
             the -static fast path (remote/queued dispatch costs dominate
             multi-call frames)."""
@@ -306,7 +325,7 @@ class MaskFusion:
             new_state, removed = fuse_clean_predict(
                 state, prep, rgb, zeros_mask, prev_pose, time, jnp.uint8(0),
                 cfg.conf_threshold_global, cfg.depth_cutoff,
-                cfg.weight_multiplier, True, bucket,
+                cfg.weight_multiplier, True, bucket, parity,
             )
             diag = (tr.icp_error, tr.icp_count, tr.rgb_count,
                     jnp.max(tr.cov_diag), new_state.map.count, removed)
@@ -314,7 +333,7 @@ class MaskFusion:
 
         self._fused_static_step = jax.jit(
             fused_static_step, donate_argnums=(0,),
-            static_argnames=("bucket",),
+            static_argnames=("bucket", "parity"),
         )
 
         def project_ids(m: sm.SurfelMap, pose, time, max_depth,
@@ -331,6 +350,20 @@ class MaskFusion:
             return depth
 
         self._project_ids = jax.jit(project_ids,
+                                    static_argnames=("bucket",))
+
+        def erase_error(m: sm.SurfelMap, seg_mask, mask_id, depth, pose,
+                        bucket: int):
+            """Spawn subtraction on the global map (eraseErrorGeometry,
+            MaskFusion.cpp:355-358)."""
+            work = sm.prefix_view(m, bucket)
+            out, removed = clean_ops.erase_error_geometry(
+                work, seg_mask, mask_id, depth, se3.pose_inverse(pose), intr,
+                cfg.spawn_subtraction_window,
+            )
+            return sm.write_back(m, out), removed
+
+        self._erase_error = jax.jit(erase_error,
                                     static_argnames=("bucket",))
 
         def combine_ids(depths, ids_vec):
@@ -467,9 +500,13 @@ class MaskFusion:
         if (cfg.static_mode and gt_pose is None and self.ferns is None):
             glob = self.models[0]
             bucket = sm.choose_bucket(self._last_count,
-                                      glob.state.map.capacity)
+                                      glob.state.map.capacity,
+                                      current=glob.last_bucket)
+            glob.last_bucket = bucket
             glob.state, d = self._fused_static_step(
-                glob.state, rgb, depth, float(self.tick), bucket=bucket)
+                glob.state, rgb, depth, float(self.tick), bucket=bucket,
+                parity=(self.tick % 2
+                        if cfg.fuse_subsample_checkerboard else None))
             # pose log keeps a device-side copy (the state itself is
             # donated into the next step); export converts lazily
             glob.pose_log.append({
@@ -583,8 +620,7 @@ class MaskFusion:
                         model.state.map, model.state.pose,
                         float(self.tick), model.max_depth
                         if model.model_id != 0 else cfg.depth_cutoff,
-                        bucket=sm.choose_bucket(model.surfel_count,
-                                                model.state.map.capacity),
+                        bucket=model.bucket(),
                     ))
                 ids_vec = jnp.asarray(
                     np.array([m.model_id for m in self.models], np.int32))
@@ -668,6 +704,17 @@ class MaskFusion:
                     cb(new_model)
                 self.spawn_offset = 0
 
+                if cfg.spawn_subtraction:
+                    # eraseErrorGeometry (MaskFusion.cpp:355-358): carve
+                    # global surfels lying on the spawned object's surface
+                    gmap, _erased = self._erase_error(
+                        glob.state.map, jnp.asarray(seg_mask_np),
+                        jnp.uint8(new_id), prep.filt_depth,
+                        glob.state.pose,
+                        bucket=glob.bucket(),
+                    )
+                    glob.state = glob.state._replace(map=gmap)
+
             # per-model maxDepth + confidence ramp (:334-374)
             for i, model in enumerate(self.models[1:], start=1):
                 md = seg_result.data_for(model.model_id)
@@ -697,8 +744,9 @@ class MaskFusion:
                     float(self.tick), jnp.uint8(model.model_id),
                     float(conf_t), float(max_d), float(wm),
                     allow_fill_in=(model.model_id == 0),
-                    bucket=sm.choose_bucket(model.surfel_count,
-                                            model.state.map.capacity),
+                    bucket=model.bucket(),
+                    parity=(self.tick % 2
+                            if cfg.fuse_subsample_checkerboard else None),
                 )
 
         if self.ferns is not None and not self.lost:

@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-segMaxNew", dest="seg_max_new", type=float, default=0.4)
     p.add_argument("-offset", dest="model_spawn_offset", type=int, default=22)
     p.add_argument("-keep", dest="keep_all_models", action="store_true")
+    p.add_argument("-spawnSubtract", dest="spawn_subtraction",
+                   action="store_true",
+                   help="carve global surfels inside a newly spawned "
+                        "object's region (eraseErrorGeometry)")
     p.add_argument("-a", dest="preallocate", type=int, default=0)
     # exports
     p.add_argument("-ep", dest="export_poses", action="store_true")
@@ -130,6 +134,7 @@ def make_config(args):
         seg_max_new_rel=args.seg_max_new,
         model_spawn_offset=args.model_spawn_offset,
         keep_all_models=args.keep_all_models,
+        spawn_subtraction=args.spawn_subtraction,
         preallocated_models=args.preallocate,
         mask_cutoff_frame=args.mask_cutoff,
         fern_threshold=args.fern_thresh,

@@ -210,15 +210,26 @@ def write_back(full: SurfelMap, pref: SurfelMap) -> SurfelMap:
     )
 
 
-def choose_bucket(count: int, capacity: int, headroom: int = 1 << 17,
-                  minimum: int = 1 << 18) -> int:
-    """Host-side bucket policy: next power of two covering count plus one
-    frame's worth of growth.  Few distinct values -> few recompiles."""
-    need = max(int(count * 1.25) + headroom, minimum)
+def choose_bucket(count: int, capacity: int, headroom: int = 81920,
+                  minimum: int = 1 << 18, current: int = 0) -> int:
+    """Host-side bucket policy: smallest 1.25x-step bucket covering count
+    plus one frame's worth of appends (checkerboard fusion appends at most
+    H*W/4 = 76800 new unstables per frame at VGA).  Quarter-octave steps
+    instead of power-of-two halve the average dead-row waste in the
+    bucket-sized sorts/gathers (the dominant per-frame costs scale with
+    bucket, not count) at the price of ~2x more distinct compiled variants
+    over a map's lifetime — amortised by the persistent compile cache.
+    Passing the model's `current` bucket adds shrink hysteresis so a count
+    hovering at a step boundary doesn't flip-flop between two compiled
+    variants every few frames."""
+    need = max(int(count) + headroom, minimum)
     b = minimum
     while b < need:
-        b <<= 1
-    return min(b, capacity)
+        b += b >> 2
+    b = min(b, capacity)
+    if current and b < current <= capacity and need > int(current * 0.7):
+        return current
+    return b
 
 
 def download(m: SurfelMap):

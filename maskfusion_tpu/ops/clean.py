@@ -28,6 +28,8 @@ class CleanResult(NamedTuple):
     keep: jnp.ndarray     # (capacity,) bool — survivors in PRE-compaction
                           # slot space (lets prediction reuse the pre-clean
                           # index map instead of a third render)
+    conf: jnp.ndarray       # (capacity,) PRE-compaction penalised confidence
+    last_seen: jnp.ndarray  # (capacity,) PRE-compaction finalised last_seen
 
 
 def clean(
@@ -67,19 +69,41 @@ def clean(
     # --- free-space violation counts over the window
     #     (copy_unstable.vert:87-115): 9 unique taps with multiplicities
     #     reproduce the reference's duplicate-counted 16 half-pixel samples.
-    #     All 9 taps ride ONE 64-wide row-gather: the 3x3 neighbourhood is
-    #     pre-flattened into a (H*W, 63) table by static 2D shifts (TPU
-    #     row-gathers cost ~flat in row width; 9 separate 8-wide gathers were
-    #     the dominant clean cost).  idx is stored +1 so the zero padding of
-    #     out-of-image taps reads as invalid. ---
+    #     All 9 taps ride ONE row-gather: the 3x3 neighbourhood is
+    #     pre-flattened into a (H*W, 64) f16 table by static 2D shifts (TPU
+    #     row-gathers are the dominant clean cost and scale with row BYTES
+    #     at this width, so the table is compressed to half precision):
+    #       * z and init_time ride as f16 hi/lo pairs (hi + residual), ~21
+    #         mantissa bits — reconstruction error ~2e-5 m against the
+    #         reference's 0.01 m thresholds;
+    #       * the winner's xy is stored as its sub-pixel RESIDUAL against
+    #         (tap-pixel ray) * z — magnitude < 1 px / fx, where f16 is
+    #         exact to ~1e-6 m; the absolute xy is rebuilt surfel-side from
+    #         the tap pixel index;
+    #       * conf>threshold and last_seen==time are single flag bits
+    #         (evaluated image-side EXACTLY in f32, so no precision loss).
+    #     A zero row (flag 0) marks out-of-image taps. ---
     n_px = H * W
-    fields = jnp.concatenate([
-        index_map.pos,                                        # 0:3
-        index_map.conf[..., None],                            # 3
-        index_map.init_time[..., None],                       # 4
-        index_map.last_seen[..., None],                       # 5
-        (index_map.index + 1).astype(jnp.float32)[..., None],  # 6 (0=invalid)
-    ], axis=-1)                                               # (H, W, 7)
+
+    def hi_lo(a):
+        hi = a.astype(jnp.float16)
+        lo = (a - hi.astype(jnp.float32)).astype(jnp.float16)
+        return hi, lo
+
+    px_ray_x = (jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) - intr.cx) / intr.fx
+    px_ray_y = (jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) - intr.cy) / intr.fy
+    c_z = index_map.pos[..., 2]
+    z_hi, z_lo = hi_lo(c_z)
+    it_hi, it_lo = hi_lo(index_map.init_time)
+    rx = (index_map.pos[..., 0] - px_ray_x * c_z).astype(jnp.float16)
+    ry = (index_map.pos[..., 1] - px_ray_y * c_z).astype(jnp.float16)
+    flag = (
+        (index_map.index >= 0).astype(jnp.float16)
+        + 2.0 * (index_map.conf > conf_threshold).astype(jnp.float16)
+        + 4.0 * (index_map.last_seen == time).astype(jnp.float16)
+    )
+    fields = jnp.stack([z_hi, z_lo, it_hi, it_lo, rx, ry, flag], axis=-1)
+
     taps = []
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
@@ -89,7 +113,7 @@ def clean(
             taps.append(p[max(0, dy):max(0, dy) + H,
                           max(0, dx):max(0, dx) + W])
     wide = jnp.concatenate(
-        taps + [jnp.zeros((H, W, 1), jnp.float32)], axis=-1
+        taps + [jnp.zeros((H, W, 1), jnp.float16)], axis=-1
     ).reshape(n_px, 64)
 
     kx = jnp.floor(x)
@@ -110,22 +134,31 @@ def clean(
     count = jnp.zeros((m.capacity,), jnp.int32)
     zcount = jnp.zeros((m.capacity,), jnp.int32)
     for k in range(9):
+        dy, dx = k // 3 - 1, k % 3 - 1
         r = rows[:, 7 * k:7 * k + 7]
-        c_pos = r[:, 0:3]
-        c_conf = r[:, 3]
-        c_it = r[:, 4]
-        c_ls = r[:, 5]
-        c_live = r[:, 6] >= 1.0          # idx+1 > 0 and tap in-image
+        c_z_s = r[:, 0].astype(jnp.float32) + r[:, 1].astype(jnp.float32)
+        c_it = r[:, 2].astype(jnp.float32) + r[:, 3].astype(jnp.float32)
+        fl = r[:, 6].astype(jnp.int32)
+        c_live = (fl & 1) > 0
+        c_conf_ok = (fl & 2) > 0
+        c_ls_now = (fl & 4) > 0
+        # absolute winner xy from the tap pixel's ray and stored residual
+        tap_x = (jnp.clip(kxi + dx, 0, W - 1).astype(jnp.float32)
+                 - intr.cx) / intr.fx
+        tap_y = (jnp.clip(kyi + dy, 0, H - 1).astype(jnp.float32)
+                 - intr.cy) / intr.fy
+        c_x = tap_x * c_z_s + r[:, 4].astype(jnp.float32)
+        c_y = tap_y * c_z_s + r[:, 5].astype(jnp.float32)
         mult = my[k // 3] * mx[k % 3]
 
-        base = in_view & c_live & (c_conf > conf_threshold) & (
-            c_pos[:, 2] > lz
-        )
-        xy_dist = jnp.linalg.norm(c_pos[:, :2] - lp[:, :2], axis=-1)
-        c1 = base & (c_it < m.init_time) & (c_pos[:, 2] - lz < 0.01) & (
+        base = in_view & c_live & c_conf_ok & (c_z_s > lz)
+        xy_dist = jnp.sqrt((c_x - lp[:, 0]) ** 2 + (c_y - lp[:, 1]) ** 2)
+        # integer ticks reconstruct to +-0.25; testing against (it - 0.5)
+        # keeps the strict `older than` semantics exact for all tick pairs
+        c1 = base & (c_it < m.init_time - 0.5) & (c_z_s - lz < 0.01) & (
             xy_dist < m.radius * 1.4
         )
-        c2 = base & (c_ls == time) & (c_pos[:, 2] - lz > 0.01) & (
+        c2 = base & c_ls_now & (c_z_s - lz > 0.01) & (
             jnp.abs(ln[:, 2]) > 0.85
         )
         count = count + jnp.where(c1, mult, 0)
@@ -168,4 +201,43 @@ def clean(
     )
     out = sm.compact_self(cleaned, keep)
     removed = m.count - out.count
-    return CleanResult(map=out, removed=removed, keep=keep)
+    return CleanResult(map=out, removed=removed, keep=keep,
+                       conf=conf, last_seen=last_seen)
+
+
+def erase_error_geometry(
+    m: SurfelMap,
+    mask: jnp.ndarray,          # (H, W) uint8 current segmentation
+    mask_id,                    # id of the freshly spawned object model
+    depth_input: jnp.ndarray,   # (H, W) filtered frame depth (0 invalid)
+    pose_inv: jnp.ndarray,
+    intr: CameraIntrinsics,
+    depth_window: float = 0.05,
+):
+    """Spawn subtraction (Model::eraseErrorGeometry, Model.cpp:774-887;
+    call site MaskFusion.cpp:355-358 behind enableSpawnSubtraction): when a
+    new object model spawns, carve out of the GLOBAL map the surfels that
+    were erroneously fused from pixels now known to belong to the object —
+    i.e. surfels that project into the object's mask region at a depth
+    matching the input frame.  The reference ships this disabled (its erase
+    shader source was even dropped upstream); the documented semantics are
+    reproduced here behind Config.spawn_subtraction.
+
+    Returns (carved map, removed count)."""
+    H, W = depth_input.shape
+    R = pose_inv[:3, :3]
+    t = pose_inv[:3, 3]
+    lp = m.pos @ R.T + t
+    lz = lp[:, 2]
+    x = intr.fx * lp[:, 0] / jnp.where(lz != 0, lz, 1.0) + intr.cx
+    y = intr.fy * lp[:, 1] / jnp.where(lz != 0, lz, 1.0) + intr.cy
+    xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, H - 1)
+    in_view = (lz > 0) & (x >= 0) & (y >= 0) & (x < W) & (y < H)
+
+    d = depth_input[yi, xi]
+    on_object = in_view & (mask[yi, xi] == jnp.asarray(mask_id, mask.dtype))
+    erase = on_object & (d > 0) & (jnp.abs(lz - d) < depth_window)
+    keep = m.slot_mask() & jnp.logical_not(erase)
+    out = sm.compact_self(m, keep)
+    return out, m.count - out.count

@@ -88,12 +88,21 @@ def fuse(
     max_depth,
     *,
     checkerboard: bool = True,
+    parity: "int | None" = None,
     merge_z_thresh: float = 0.05,
     radius_merge_factor: float = 1.5,
 ) -> FuseResult:
     """One fusion step.  Returns the updated map (existing surfels merged AND
     new unstable surfels appended with last_seen = -2 flag, to be finalised
-    by the clean pass exactly like the reference's newUnstableBuffer)."""
+    by the clean pass exactly like the reference's newUnstableBuffer).
+
+    With checkerboard subsampling, passing the frame parity as a STATIC
+    `parity` lets pass 2 (sort-based segment sums + append compaction, the
+    dominant fuse cost) run on the (H/2, W/2) eligible subgrid instead of
+    carrying 3/4 dead rows through the sorts — the eligible pixels of
+    parity p form exactly the [p::2, p::2] slice.  parity=None keeps the
+    traced-parity dense path (used when `time` is not known at trace
+    time)."""
     H, W = vmap_raw.shape[:2]
     R = pose[:3, :3]
     t = pose[:3, 3]
@@ -112,7 +121,7 @@ def fuse(
     neighbours_ok = nb(0, -1) & nb(0, 1) & nb(-1, 0) & nb(1, 0)
 
     eligible = valid_v & neighbours_ok & (mask == mask_id)
-    if checkerboard:
+    if checkerboard and parity is None:
         tpar = jnp.mod(jnp.asarray(time, jnp.int32), 2)
         eligible = eligible & (u.astype(jnp.int32) % 2 == tpar) & (
             v.astype(jnp.int32) % 2 == tpar
@@ -177,17 +186,26 @@ def fuse(
     from maskfusion_tpu.ops import sort_utils
 
     cap = m.capacity
-    slot_flat = best_slot.reshape(-1)
-    matched_flat = matched.reshape(-1)
-    a_px = conf_px.reshape(-1)
+    if checkerboard and parity is not None:
+        # static subgrid: only [parity::2, parity::2] pixels are eligible
+        def rows(a):
+            return a[parity::2, parity::2].reshape(
+                (-1,) + a.shape[2:])
+    else:
+        def rows(a):
+            return a.reshape((-1,) + a.shape[2:])
+
+    slot_flat = rows(best_slot)
+    matched_flat = rows(matched)
+    a_px = rows(conf_px)
 
     sum_a, sum_pos, sum_col, sum_norm, sum_rad = sort_utils.segment_sum_dense(
         slot_flat, matched_flat,
         [a_px,
-         pos_w.reshape(-1, 3) * a_px[:, None],
-         col.reshape(-1, 3) * a_px[:, None],
-         norm_w.reshape(-1, 3) * a_px[:, None],
-         rad_px.reshape(-1) * a_px],
+         rows(pos_w) * a_px[:, None],
+         rows(col) * a_px[:, None],
+         rows(norm_w) * a_px[:, None],
+         rows(rad_px) * a_px],
         cap,
     )
 
@@ -233,15 +251,24 @@ def fuse(
     )
 
     # ---- new unstable surfels (data.geom route -> newUnstableBuffer) ----
+    n_cand = rows(new_pix).shape[0]
     updated = sm.compact_into(
         updated,
-        new_pix.reshape(-1),
-        pos_w.reshape(-1, 3),
-        conf_px.reshape(-1),
-        col.reshape(-1, 3),
-        jnp.full((H * W,), jnp.asarray(time, jnp.float32)),
-        jnp.full((H * W,), -2.0, jnp.float32),   # vColor.w = -2 flag
-        norm_w.reshape(-1, 3),
-        rad_px.reshape(-1),
+        rows(new_pix),
+        rows(pos_w),
+        rows(conf_px),
+        rows(col),
+        jnp.full((n_cand,), jnp.asarray(time, jnp.float32)),
+        jnp.full((n_cand,), -2.0, jnp.float32),   # vColor.w = -2 flag
+        rows(norm_w),
+        rows(rad_px),
     )
+    if checkerboard and parity is not None:
+        # dense masks for callers (subgrid row-major order == dense
+        # row-major order restricted to the subgrid, so append ranks
+        # computed from the dense masks stay consistent)
+        matched = jnp.zeros((H, W), bool).at[parity::2, parity::2].set(
+            matched[parity::2, parity::2])
+        new_pix = jnp.zeros((H, W), bool).at[parity::2, parity::2].set(
+            new_pix[parity::2, parity::2])
     return FuseResult(map=updated, matched_pixels=matched, new_pixels=new_pix)

@@ -86,7 +86,16 @@ class GNTerm(NamedTuple):
     count: jnp.ndarray      # scalar: inlier count (float32)
 
 
-def icp_step(
+class ICPAssociation(NamedTuple):
+    """Frozen projective association: the gathered model rows + the gates
+    that were evaluated at association time.  Everything pose-dependent
+    (dist/sine/rows) is recomputed cheaply from these in
+    icp_term_from_assoc — the gather is the only expensive part."""
+    vn: jnp.ndarray            # (P, 6) gathered model vertex+normal (world)
+    found_static: jnp.ndarray  # (P,) bool — bounds/finite/mask gates
+
+
+def icp_associate(
     R_curr: jnp.ndarray,
     t_curr: jnp.ndarray,
     vmap_curr: jnp.ndarray,
@@ -94,22 +103,17 @@ def icp_step(
     R_prev_inv: jnp.ndarray,
     t_prev: jnp.ndarray,
     intr: CameraIntrinsics,
-    vmap_g_prev: jnp.ndarray,
-    nmap_g_prev: jnp.ndarray,
-    dist_thresh: float,
-    angle_thresh_sine: float,
+    vn_packed: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     mask_id: Optional[jnp.ndarray] = None,
-    vn_packed: Optional[jnp.ndarray] = None,
-) -> GNTerm:
-    """Point-to-plane projective-ICP GN term.
-
-    Mirrors ICPReduction::search/getProducts (reduce.cu:292-415): transform the
-    current-frame vertex into the previous (model) camera, project, fetch the
-    model's global-frame vertex/normal at that pixel, gate by distance and
-    normal agreement, and emit row = [n, s x n, n.(s-d)] in the previous
-    camera frame.  The optional mask gate replicates the MASK_ICP_RESIDUAL
-    path (reduce.cu:316-324) which tests the *current* pixel's label."""
+) -> ICPAssociation:
+    """Projective correspondence search (ICPReduction::search,
+    reduce.cu:292-366): transform the current-frame vertex into the previous
+    (model) camera, project, fetch the model's global-frame vertex/normal at
+    that pixel.  This is the random-gather (HBM-latency-bound) half of
+    icp_step; callers may reuse one association for several GN iterations
+    (the reference re-searches every iteration only because fragment-shader
+    texture fetches are free there)."""
     H, W = vmap_curr.shape[:2]
     v = vmap_curr.reshape(-1, 3)
     n = nmap_curr.reshape(-1, 3)
@@ -126,27 +130,51 @@ def icp_step(
 
     # one 6-wide row-gather instead of two 3-wide (TPU gathers amortise
     # over row width; random-gather throughput is the iteration bottleneck).
-    # Callers in the GN loop pass vn_packed precomputed once per level.
-    if vn_packed is None:
-        vn_packed = pack_model_maps(vmap_g_prev, nmap_g_prev)
     vn = _gather2d(vn_packed, v_proj, u_proj)
-    vprev_g = vn[:, 0:3]
-    nprev_g = vn[:, 3:6]
+
+    found_static = (
+        in_bounds
+        & jnp.isfinite(n[:, 0])
+        & jnp.isfinite(vn[:, 3])
+        & jnp.isfinite(v[:, 0])
+    )
+    if mask is not None and mask_id is not None:
+        found_static = found_static & (mask.reshape(-1) == mask_id)
+    return ICPAssociation(vn=vn, found_static=found_static)
+
+
+def icp_term_from_assoc(
+    R_curr: jnp.ndarray,
+    t_curr: jnp.ndarray,
+    vmap_curr: jnp.ndarray,
+    nmap_curr: jnp.ndarray,
+    R_prev_inv: jnp.ndarray,
+    t_prev: jnp.ndarray,
+    assoc: ICPAssociation,
+    dist_thresh: float,
+    angle_thresh_sine: float,
+) -> GNTerm:
+    """Point-to-plane GN term from an existing association
+    (ICPReduction::getProducts, reduce.cu:367-415).  Gather-free: the
+    dist/sine inlier gates and the rows [n, s x n, n.(s-d)] are recomputed
+    from the frozen (P, 6) model rows with the *current* pose, so repeated
+    calls between association refreshes stay exact except for the
+    correspondence pixels themselves."""
+    v = vmap_curr.reshape(-1, 3)
+    n = nmap_curr.reshape(-1, 3)
+    v_g = v @ R_curr.T + t_curr
+    vprev_g = assoc.vn[:, 0:3]
+    nprev_g = assoc.vn[:, 3:6]
 
     n_g = n @ R_curr.T
     dist = jnp.linalg.norm(vprev_g - v_g, axis=-1)
     sine = jnp.linalg.norm(jnp.cross(n_g, nprev_g), axis=-1)
 
     found = (
-        in_bounds
+        assoc.found_static
         & (sine < angle_thresh_sine)
         & (dist <= dist_thresh)
-        & jnp.isfinite(n[:, 0])
-        & jnp.isfinite(nprev_g[:, 0])
-        & jnp.isfinite(v[:, 0])
     )
-    if mask is not None and mask_id is not None:
-        found = found & (mask.reshape(-1) == mask_id)
 
     # rows in the previous camera frame (reduce.cu:367-375)
     s_cp = (v_g - t_prev) @ R_prev_inv.T
@@ -165,6 +193,38 @@ def icp_step(
         b=jtj[:6, 6],
         residual_sq=jtj[6, 6],
         count=jnp.sum(found.astype(jnp.float32)),
+    )
+
+
+def icp_step(
+    R_curr: jnp.ndarray,
+    t_curr: jnp.ndarray,
+    vmap_curr: jnp.ndarray,
+    nmap_curr: jnp.ndarray,
+    R_prev_inv: jnp.ndarray,
+    t_prev: jnp.ndarray,
+    intr: CameraIntrinsics,
+    vmap_g_prev: jnp.ndarray,
+    nmap_g_prev: jnp.ndarray,
+    dist_thresh: float,
+    angle_thresh_sine: float,
+    mask: Optional[jnp.ndarray] = None,
+    mask_id: Optional[jnp.ndarray] = None,
+    vn_packed: Optional[jnp.ndarray] = None,
+) -> GNTerm:
+    """Point-to-plane projective ICP GN term = associate + products
+    (ICPReduction::search/getProducts, reduce.cu:292-415).  The optional
+    mask gate replicates the MASK_ICP_RESIDUAL path (reduce.cu:316-324)
+    which tests the *current* pixel's label."""
+    if vn_packed is None:
+        vn_packed = pack_model_maps(vmap_g_prev, nmap_g_prev)
+    assoc = icp_associate(
+        R_curr, t_curr, vmap_curr, nmap_curr, R_prev_inv, t_prev, intr,
+        vn_packed, mask, mask_id,
+    )
+    return icp_term_from_assoc(
+        R_curr, t_curr, vmap_curr, nmap_curr, R_prev_inv, t_prev, assoc,
+        dist_thresh, angle_thresh_sine,
     )
 
 
@@ -326,20 +386,28 @@ def so3_step(
         & (x >= 1) & (x < W - 1) & (y >= 1) & (y < H - 1)
     )
 
-    # getGradient: (back - fore) / 2 at integer pixels
-    def grad(img, yy, xx):
-        back_x = _gather2d(img, yy.reshape(-1), (xx - 1).reshape(-1))
-        fore_x = _gather2d(img, yy.reshape(-1), (xx + 1).reshape(-1))
-        back_y = _gather2d(img, (yy - 1).reshape(-1), xx.reshape(-1))
-        fore_y = _gather2d(img, (yy + 1).reshape(-1), xx.reshape(-1))
-        gx = (back_x - fore_x) * 0.5
-        gy = (back_y - fore_y) * 0.5
-        return gx.reshape(yy.shape), gy.reshape(yy.shape)
+    # getGradient: (back - fore) / 2 at integer pixels.  The last-image
+    # gradient is at the pixel itself — dense shifts, no gather.  The
+    # next-image needs its 3x3-cross taps at the warped pixel: pack them
+    # into a (H, W, 5) table with dense shifts and fetch with ONE 5-wide
+    # row-gather (random-gather latency dominates this kernel; five
+    # separate 1-wide gathers serialise it).
+    def shift(img, dy, dx):
+        pad = ((max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx)))
+        return jnp.pad(img, pad)[max(0, dy):max(0, dy) + H,
+                                 max(0, dx):max(0, dx) + W]
 
-    xi = x.astype(jnp.int32)
-    yi = y.astype(jnp.int32)
-    gnx, gny = grad(nextf, wy, wx)
-    glx, gly = grad(lastf, yi, xi)
+    # (back - fore) / 2:  back_x = img[y, x-1] = shift(img, 0, -1)
+    glx = (shift(lastf, 0, -1) - shift(lastf, 0, 1)) * 0.5
+    gly = (shift(lastf, -1, 0) - shift(lastf, 1, 0)) * 0.5
+
+    packed = jnp.stack(
+        [shift(nextf, 0, -1), shift(nextf, 0, 1),
+         shift(nextf, -1, 0), shift(nextf, 1, 0), nextf], axis=-1)
+    taps = _gather2d(packed, wy.reshape(-1), wx.reshape(-1)).reshape(H, W, 5)
+    gnx = (taps[..., 0] - taps[..., 1]) * 0.5
+    gny = (taps[..., 2] - taps[..., 3]) * 0.5
+    next_at_w = taps[..., 4]
     gx = (gnx + glx) * 0.5
     gy = (gny + gly) * 0.5
 

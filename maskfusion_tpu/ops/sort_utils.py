@@ -86,17 +86,19 @@ def segment_sum_dense(
     key = jnp.where(valid, slots, cap).astype(jnp.int32)
     skey, sidx = jax.lax.sort((key, idx), num_keys=1)
 
-    # one searchsorted over cap+1 targets: ends(t) == starts(t+1)
+    # one searchsorted over cap+1 targets: ends(t) == starts(t+1), so ONE
+    # (cap+1)-row gather of the prefix sums followed by a dense diff gives
+    # every segment total (two separate starts/ends gathers were the
+    # dominant cost of this op)
     targets = jax.lax.broadcasted_iota(jnp.int32, (cap + 1, 1), 0)[:, 0]
     bounds = _searchsorted(skey, targets, "left")
-    starts = bounds[:-1]
-    ends = bounds[1:]
 
     mat, slices = pack_columns(values)
     sv = jnp.where((skey < cap)[:, None], mat[sidx], 0.0)
     c = jnp.cumsum(sv, axis=0)
     cpad = jnp.concatenate([jnp.zeros_like(c[:1]), c], axis=0)
-    sums = cpad[ends] - cpad[starts]
+    at_bounds = cpad[bounds]
+    sums = at_bounds[1:] - at_bounds[:-1]
     return unpack_columns(sums, slices)
 
 

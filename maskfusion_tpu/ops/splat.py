@@ -31,6 +31,13 @@ from maskfusion_tpu.mapping.surfel_map import SurfelMap
 _NAN = jnp.nan
 
 
+def _exp(mask: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Broadcast a (h, w) bool to an (h, w, ...) field's rank."""
+    while mask.ndim < ndim:
+        mask = mask[..., None]
+    return mask
+
+
 class IndexMap(NamedTuple):
     index: jnp.ndarray      # (H, W) int32 surfel slot, -1 = empty
     pos: jnp.ndarray        # (H, W, 3) camera-frame surfel position
@@ -159,12 +166,25 @@ def combined_predict(
     intr: CameraIntrinsics,
     max_depth,
     window: int = 2,
+    coarse_levels: int = 3,
+    coarse_window: int = 1,
 ) -> Prediction:
     """Per-pixel gather splatting over the index map.
 
     For every pixel ray l, each candidate surfel (p, n, rad) in the window
     contributes the ray-disk intersection z* = (p.n)/(l.n) if the hit lies
-    within rad of p (combo_splat.frag:37-58); the nearest z* wins."""
+    within rad of p (combo_splat.frag:37-58); the nearest z* wins.
+
+    The reference rasterises each surfel as a sprite sized by its PROJECTED
+    radius (splat.vert:54-88), so a surfel fused at 4 m and revisited at
+    0.5 m fills ~±11 px.  A fixed gather window cannot afford that many
+    taps; instead `coarse_levels` min-depth 2x2 poolings of the index map
+    are scanned with a +-coarse_window tap pattern whose stride doubles per
+    level — level k taps reach +-(coarse_window * 2^k) px, so footprints up
+    to ~+-(2^coarse_levels) px are found at O(levels) extra cost.  The
+    ray-disk test always uses the candidate's exact position/radius, so the
+    hierarchy only affects which candidates are considered, never the
+    geometry of a hit."""
     H, W = index_map.index.shape
     u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
@@ -176,13 +196,13 @@ def combined_predict(
     l = jnp.stack([lx / lnorm, ly / lnorm, 1.0 / lnorm], axis=-1)
 
     best_z = jnp.full((H, W), jnp.inf, jnp.float32)
-    best = {
-        "pos": jnp.zeros((H, W, 3), jnp.float32),
-        "normal": jnp.zeros((H, W, 3), jnp.float32),
-        "color": jnp.zeros((H, W, 3), jnp.float32),
-        "conf": jnp.zeros((H, W), jnp.float32),
-        "time": jnp.zeros((H, W), jnp.float32),
-    }
+    # phase 1 tracks only (best_z, best_src): the winning candidate's row in
+    # the concatenated per-level field table.  Everything else about the
+    # winner (normal/color/conf/time) is fetched afterwards with ONE packed
+    # row-gather — tracking 13 fields through every tap's select was ~3x
+    # the arithmetic for no information gain.
+    best_src = jnp.full((H, W), -1, jnp.int32)
+    best_normal = jnp.zeros((H, W, 3), jnp.float32)
 
     def shift2(arr, dy, dx, fill):
         pad = [(max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx))]
@@ -190,12 +210,64 @@ def combined_predict(
         p = jnp.pad(arr, pad, constant_values=fill)
         return p[max(0, dy):max(0, dy) + H, max(0, dx):max(0, dx) + W]
 
+    # pyramid of min-depth-pooled candidate fields; level 0 = the index map
+    lvl_fields = [{
+        "index": index_map.index, "depth": index_map.depth,
+        "pos": index_map.pos, "normal": index_map.normal,
+        "radius": index_map.radius, "color": index_map.color,
+        "conf": index_map.conf, "time": index_map.init_time,
+    }]
+    for _ in range(coarse_levels):
+        prev = lvl_fields[-1]
+        ph, pw = prev["depth"].shape
+
+        def quad(a, fill):
+            if ph % 2 or pw % 2:
+                pad = [(0, ph % 2), (0, pw % 2)] + [(0, 0)] * (a.ndim - 2)
+                a = jnp.pad(a, pad, constant_values=fill)
+            return (a[0::2, 0::2], a[0::2, 1::2], a[1::2, 0::2], a[1::2, 1::2])
+
+        fills = {"index": -1, "depth": jnp.inf}
+        q = {k: quad(a, fills.get(k, 0)) for k, a in prev.items()}
+
+        def pick(sel, k):
+            a, b = q[k][0], q[k][1]
+            c, d = q[k][2], q[k][3]
+            ab = jnp.where(_exp(sel[0], a.ndim), a, b)
+            cd = jnp.where(_exp(sel[1], a.ndim), c, d)
+            return jnp.where(_exp(sel[2], a.ndim), ab, cd)
+
+        d0, d1, d2, d3 = q["depth"]
+        s01 = d0 <= d1
+        s23 = d2 <= d3
+        sfin = jnp.minimum(d0, d1) <= jnp.minimum(d2, d3)
+        sel = (s01, s23, sfin)
+        lvl_fields.append({k: pick(sel, k) for k in prev})
+
+    # per-level row offsets into the concatenated attribute table
+    offsets = []
+    at = 0
+    for f in lvl_fields:
+        offsets.append(at)
+        at += f["depth"].shape[0] * f["depth"].shape[1]
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+    def shiftc(arr, ch, cw, dy, dx, fill):
+        pad = [(max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx))]
+        pad += [(0, 0)] * (arr.ndim - 2)
+        p = jnp.pad(arr, pad, constant_values=fill)
+        return p[max(0, dy):max(0, dy) + ch, max(0, dx):max(0, dx) + cw]
+
+    # ---- level-0 scan: exact per-pixel rays over the +-window taps ----
     for dy in range(-window, window + 1):
         for dx in range(-window, window + 1):
-            cand_idx = shift2(index_map.index, dy, dx, -1)
-            cp = shift2(index_map.pos, dy, dx, 0.0)
-            cn = shift2(index_map.normal, dy, dx, 0.0)
-            crad = shift2(index_map.radius, dy, dx, 0.0)
+            g = lvl_fields[0]
+            cand_idx = shift2(g["index"], dy, dx, -1)
+            cp = shift2(g["pos"], dy, dx, 0.0)
+            cn = shift2(g["normal"], dy, dx, 0.0)
+            crad = shift2(g["radius"], dy, dx, 0.0)
 
             denom = jnp.sum(l * cn, axis=-1)
             z_star = jnp.sum(cp * cn, axis=-1) / jnp.where(
@@ -212,27 +284,131 @@ def combined_predict(
                 & (z_cam < best_z)
             )
             best_z = jnp.where(ok, z_cam, best_z)
-            sel3 = ok[..., None]
-            best["pos"] = jnp.where(sel3, hit, best["pos"])
-            best["normal"] = jnp.where(sel3, cn, best["normal"])
-            best["color"] = jnp.where(
-                sel3, shift2(index_map.color, dy, dx, 0.0), best["color"]
+            src = (jnp.clip(yy + dy, 0, H - 1) * W
+                   + jnp.clip(xx + dx, 0, W - 1))
+            best_src = jnp.where(ok, src, best_src)
+            best_normal = jnp.where(ok[..., None], cn, best_normal)
+
+    # ---- coarse levels: candidate SELECTION runs entirely at the level's
+    # own resolution with the coarse texel-center ray (upsampling the
+    # candidate fields to full resolution was ~10x the cost for no
+    # accuracy: the exact ray-disk test below re-validates every winner
+    # with the true pixel ray before it can displace a level-0 hit) ----
+    coarse_srcs = []
+    for k in range(1, coarse_levels + 1):
+        f = lvl_fields[k]
+        ch, cw = f["depth"].shape
+        cyy = jax.lax.broadcasted_iota(jnp.float32, (ch, cw), 0)
+        cxx = jax.lax.broadcasted_iota(jnp.float32, (ch, cw), 1)
+        # full-res center of the coarse texel
+        ctr = (1 << k) * 0.5 - 0.5
+        clx = (cxx * (1 << k) + ctr - intr.cx) / intr.fx
+        cly = (cyy * (1 << k) + ctr - intr.cy) / intr.fy
+        cln = jnp.sqrt(clx * clx + cly * cly + 1.0)
+        cl = jnp.stack([clx / cln, cly / cln, 1.0 / cln], axis=-1)
+
+        cz = jnp.full((ch, cw), jnp.inf, jnp.float32)
+        csrc = jnp.full((ch, cw), -1, jnp.int32)
+        for dy in range(-coarse_window, coarse_window + 1):
+            for dx in range(-coarse_window, coarse_window + 1):
+                cand_idx = shiftc(f["index"], ch, cw, dy, dx, -1)
+                cp = shiftc(f["pos"], ch, cw, dy, dx, 0.0)
+                cn = shiftc(f["normal"], ch, cw, dy, dx, 0.0)
+                crad = shiftc(f["radius"], ch, cw, dy, dx, 0.0)
+                denom = jnp.sum(cl * cn, axis=-1)
+                z_star = jnp.sum(cp * cn, axis=-1) / jnp.where(
+                    jnp.abs(denom) > 1e-12, denom, 1e-12)
+                hit = cl * z_star[..., None]
+                z_cam = hit[..., 2]
+                miss2 = jnp.sum((hit - cp) ** 2, axis=-1)
+                # selection gate: generous radius (coarse ray differs from
+                # the true pixel ray by up to half a texel)
+                slack = (crad + (1 << k) * z_cam / abs(intr.fx))
+                ok = (
+                    (cand_idx >= 0)
+                    & (miss2 <= slack * slack)
+                    & (z_cam > 0)
+                    & (z_cam <= max_depth)
+                    & (z_cam < cz)
+                )
+                cz = jnp.where(ok, z_cam, cz)
+                cyy_i = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0)
+                cxx_i = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1)
+                src = (offsets[k]
+                       + jnp.clip(cyy_i + dy, 0, ch - 1) * cw
+                       + jnp.clip(cxx_i + dx, 0, cw - 1))
+                csrc = jnp.where(ok, src, csrc)
+        coarse_srcs.append(csrc)
+
+    if coarse_levels > 0:
+        # exact re-validation: fetch each level's selected candidate under
+        # every full-res pixel (one 1-wide src gather + rows from the
+        # concatenated geometry table) and run the true ray-disk test
+        geom = jnp.concatenate([
+            jnp.concatenate([
+                f["pos"].reshape(-1, 3),
+                f["normal"].reshape(-1, 3),
+                f["radius"].reshape(-1, 1),
+                jnp.zeros((f["depth"].shape[0] * f["depth"].shape[1], 1),
+                          jnp.float32),
+            ], axis=1)
+            for f in lvl_fields
+        ], axis=0)
+        for k in range(1, coarse_levels + 1):
+            csrc = coarse_srcs[k - 1]
+            ch, cw = lvl_fields[k]["depth"].shape
+            lin = ((yy >> k) * cw + (xx >> k)).reshape(-1)
+            src = csrc.reshape(-1)[lin]
+            rows = geom[jnp.clip(src, 0)]
+            valid = (src >= 0).reshape(H, W)
+            cp = rows[:, 0:3].reshape(H, W, 3)
+            cn = rows[:, 3:6].reshape(H, W, 3)
+            crad = rows[:, 6].reshape(H, W)
+            denom = jnp.sum(l * cn, axis=-1)
+            z_star = jnp.sum(cp * cn, axis=-1) / jnp.where(
+                jnp.abs(denom) > 1e-12, denom, 1e-12)
+            hit = l * z_star[..., None]
+            z_cam = hit[..., 2]
+            miss2 = jnp.sum((hit - cp) ** 2, axis=-1)
+            ok = (
+                valid
+                & (miss2 <= crad * crad)
+                & (z_cam > 0)
+                & (z_cam <= max_depth)
+                & (z_cam < best_z)
             )
-            best["conf"] = jnp.where(ok, shift2(index_map.conf, dy, dx, 0.0), best["conf"])
-            best["time"] = jnp.where(
-                ok, shift2(index_map.init_time, dy, dx, 0.0), best["time"]
-            )
+            best_z = jnp.where(ok, z_cam, best_z)
+            best_src = jnp.where(ok, src.reshape(H, W), best_src)
+            best_normal = jnp.where(ok[..., None], cn, best_normal)
+
+    # phase 2: fetch the winner's appearance attributes in one row-gather
+    # over the concatenated level tables
+    attr = jnp.concatenate([
+        jnp.concatenate([
+            f["color"].reshape(-1, 3),
+            f["conf"].reshape(-1, 1),
+            f["time"].reshape(-1, 1),
+        ], axis=1)
+        for f in lvl_fields
+    ], axis=0)
+    rows = attr[jnp.clip(best_src.reshape(-1), 0)]
+    found = best_src.reshape(-1) >= 0
+    rows = jnp.where(found[:, None], rows, 0.0)
+    color = rows[:, 0:3].reshape(H, W, 3)
+    conf = rows[:, 3].reshape(H, W)
+    time_w = rows[:, 4].reshape(H, W)
 
     holes = jnp.isinf(best_z)
-    vmap = jnp.where(holes[..., None], _NAN, best["pos"])
-    nmap = jnp.where(holes[..., None], _NAN, best["normal"])
+    hit_pos = l * jnp.where(holes, 0.0, best_z)[..., None] / l[..., 2:3]
+    vmap = jnp.where(holes[..., None], _NAN, hit_pos)
+    nmap = jnp.where(holes[..., None], _NAN, best_normal)
     depth = jnp.where(holes, 0.0, best_z)
     return Prediction(
         vmap=vmap,
         nmap=nmap,
-        rgb=best["color"],
-        conf=jnp.where(holes, 0.0, best["conf"]),
-        time=best["time"],
+        rgb=color,
+        conf=jnp.where(holes, 0.0, conf),
+        time=time_w,
         depth=depth,
     )
 
@@ -240,3 +416,94 @@ def combined_predict(
 def synthesize_depth(pred: Prediction) -> jnp.ndarray:
     """Depth-only output (ModelProjection::synthesizeDepth, depth_splat.frag)."""
     return pred.depth
+
+
+def post_fuse_snapshot(
+    im1: IndexMap,
+    post_pos: jnp.ndarray,      # (cap, 3) post-fuse world positions
+    post_normal: jnp.ndarray,   # (cap, 3)
+    post_color: jnp.ndarray,    # (cap, 3)
+    post_radius: jnp.ndarray,   # (cap,)
+    post_init_time: jnp.ndarray,
+    post_conf: jnp.ndarray,     # (cap,) post-clean penalised confidence
+    keep: jnp.ndarray,          # (cap,) bool — clean survivors, same slots
+    base_count: jnp.ndarray,    # () pre-fuse surfel count (append base)
+    new_pix: jnp.ndarray,       # (H, W) bool — pixels appended by fuse
+    vmap_cam: jnp.ndarray,      # (H, W, 3) frame camera-frame vertices
+    nmap_cam: jnp.ndarray,
+    rgb: jnp.ndarray,           # (H, W, 3) uint8
+    conf_px: jnp.ndarray,       # (H, W) appended initial confidence
+    rad_px: jnp.ndarray,        # (H, W) appended radius
+    time,
+    pose_inv: jnp.ndarray,
+) -> IndexMap:
+    """Update a pre-fuse index render to post-fuse/clean state WITHOUT a
+    second z-buffer sort-render (the second-largest per-frame cost).
+
+    The reference renders the index map once per frame (predictIndices,
+    before fuse — MaskFusion.cpp:341-352) and then re-rasterises the whole
+    cleaned map for combinedPredict.  Here prediction reuses the morning
+    render: existing winners get their post-fuse attributes by ONE packed
+    row-gather at `im1.index` (visibility is assumed unchanged by the
+    sub-pixel fusion moves), and the surfels fuse just appended — which by
+    construction project exactly onto their source pixels — are overlaid
+    densely from the frame itself.  combined_predict consumes only these
+    per-pixel candidate fields, so approximate slot indices are never
+    observed beyond their >= 0 validity."""
+    H, W = im1.index.shape
+    n = H * W
+    R = pose_inv[:3, :3]
+    t = pose_inv[:3, 3]
+
+    idx = im1.index.reshape(-1)
+    safe = jnp.clip(idx, 0)
+    from maskfusion_tpu.ops import sort_utils
+
+    packed, slices = sort_utils.pack_columns(
+        [post_pos, post_normal, post_color, post_radius, post_init_time,
+         post_conf])
+    rows = packed[safe]
+    pos_w, norm_w, col_w, rad_w, it_w, conf_w = sort_utils.unpack_columns(
+        rows, slices)
+    pos_cam = pos_w @ R.T + t
+    norm_cam = norm_w @ R.T
+    base_ok = (idx >= 0) & keep[safe] & (conf_w > 0)
+    base_z = jnp.where(base_ok, pos_cam[:, 2], jnp.inf)
+
+    # appended overlay: slot = base_count + rank among appended pixels
+    newf = new_pix.reshape(-1)
+    rank = jnp.cumsum(newf.astype(jnp.int32)) - 1
+    app_slot = base_count.astype(jnp.int32) + rank
+    app_ok = newf & keep[jnp.clip(app_slot, 0, keep.shape[0] - 1)]
+    app_z = jnp.where(app_ok, vmap_cam[..., 2].reshape(-1), jnp.inf)
+
+    use_app = app_ok & (app_z < base_z)
+    any_ok = base_ok | use_app
+
+    def pick(base, app):
+        base = base.reshape(n, -1)
+        app = app.reshape(n, -1)
+        out = jnp.where(use_app[:, None], app, base)
+        return out
+
+    pos_o = pick(pos_cam, vmap_cam)
+    norm_o = pick(norm_cam, nmap_cam)
+    col_o = pick(col_w, rgb.astype(jnp.float32))
+    rad_o = pick(rad_w, rad_px)[:, 0]
+    it_o = pick(it_w, jnp.full((H, W), jnp.asarray(time, jnp.float32)))[:, 0]
+    conf_o = pick(conf_w, conf_px)[:, 0]
+    z_o = jnp.where(use_app, app_z, base_z)
+
+    valid = any_ok & (z_o > 0)
+    return IndexMap(
+        index=jnp.where(valid, jnp.where(use_app, app_slot, safe),
+                        -1).reshape(H, W),
+        pos=pos_o.reshape(H, W, 3),
+        conf=jnp.where(valid, conf_o, 0.0).reshape(H, W),
+        color=col_o.reshape(H, W, 3),
+        init_time=it_o.reshape(H, W),
+        last_seen=jnp.full((H, W), jnp.asarray(time, jnp.float32)),
+        normal=norm_o.reshape(H, W, 3),
+        radius=jnp.where(valid, rad_o, 0.0).reshape(H, W),
+        depth=jnp.where(valid, z_o, jnp.inf).reshape(H, W),
+    )

@@ -184,8 +184,21 @@ def get_incremental_transformation(
     so3_iterations: int = 10,
     translation_jump_limit: float = 0.3,
     num_levels: int = 3,
+    assoc_period: int = 1,
 ) -> OdometryResult:
-    """One tracking solve. Structure mirrors RGBDOdometry.cpp:227-497."""
+    """One tracking solve. Structure mirrors RGBDOdometry.cpp:227-497.
+
+    assoc_period > 1 enables frozen-association GN: per pyramid level the
+    iterations are split into ceil(iters/period) chunks; only the first
+    iteration of each chunk runs the projective correspondence search (the
+    two random row-gathers that dominate TPU tracking cost — see
+    CLAUDE.md's cost model), the rest re-linearise the point-to-plane term
+    against the frozen matches and keep the photometric term's (A, b) from
+    the association point.  The reference re-searches every iteration
+    (reduce.cu:292-366 runs inside each GN call) because fragment-shader
+    texture fetches are effectively free on its hardware; on TPU they are
+    the bottleneck.  rgb_only tracking keeps period=1 (its divergence check
+    needs a fresh residual every iteration)."""
     use_icp = (not rgb_only) and icp_weight > 0
     use_rgb = rgb_only or icp_weight < 100
 
@@ -295,16 +308,15 @@ def get_incremental_transformation(
 
         def body(j, carry, lvl=lvl, Kj=Kj, K_invj=K_invj, il=il,
                  min_scale=min_scale, vn_packed=vn_packed,
-                 static_valid=static_valid):
+                 static_valid=static_valid, frozen=None):
             (result_rt, t_curr, R_curr, last_rgb_error, lastA, lastb,
              icp_error, icp_count, rgb_error, rgb_count, done) = carry
 
-            Rt = _rigid_inverse(result_rt)
-            Rwarp = Rt[:3, :3]
-            krk_inv = Kj @ Rwarp @ K_invj
-            kt = Kj @ Rt[:3, 3]
-
-            if use_rgb:
+            if use_rgb and frozen is None:
+                Rt = _rigid_inverse(result_rt)
+                Rwarp = Rt[:3, :3]
+                krk_inv = Kj @ Rwarp @ K_invj
+                kt = Kj @ Rt[:3, 3]
                 corres = red.compute_rgb_residual(
                     didx[lvl], didy[lvl],
                     model.depths[lvl], frame.depths[lvl],
@@ -319,21 +331,34 @@ def get_incremental_transformation(
                     done = done | (tmp_error > last_rgb_error)
                 new_rgb_error = tmp_error
                 new_rgb_count = corres.count
+            elif use_rgb:
+                # frozen photometric term: (A, b) linearised at the last
+                # association; matches/rows have no other pose dependence
+                corres = None
+                new_rgb_error, new_rgb_count = rgb_error, rgb_count
             else:
                 corres = None
                 new_rgb_error, new_rgb_count = rgb_error, rgb_count
 
             if use_icp:
-                icp_term = red.icp_step(
-                    R_curr, t_curr,
-                    frame.vmaps[lvl], frame.nmaps[lvl],
-                    R_prev_inv, t_prev, il,
-                    model.vmaps_g[lvl], model.nmaps_g[lvl],
-                    dist_thresh, angle_thresh_sine,
-                    mask=frame.masks[lvl] if use_mask_icp else None,
-                    mask_id=mask_id if use_mask_icp else None,
-                    vn_packed=vn_packed,
-                )
+                if frozen is None:
+                    icp_term = red.icp_step(
+                        R_curr, t_curr,
+                        frame.vmaps[lvl], frame.nmaps[lvl],
+                        R_prev_inv, t_prev, il,
+                        model.vmaps_g[lvl], model.nmaps_g[lvl],
+                        dist_thresh, angle_thresh_sine,
+                        mask=frame.masks[lvl] if use_mask_icp else None,
+                        mask_id=mask_id if use_mask_icp else None,
+                        vn_packed=vn_packed,
+                    )
+                else:
+                    icp_term = red.icp_term_from_assoc(
+                        R_curr, t_curr,
+                        frame.vmaps[lvl], frame.nmaps[lvl],
+                        R_prev_inv, t_prev, frozen[0],
+                        dist_thresh, angle_thresh_sine,
+                    )
                 new_icp_error = jnp.sqrt(icp_term.residual_sq) / jnp.maximum(
                     icp_term.count, 1.0
                 )
@@ -342,10 +367,13 @@ def get_incremental_transformation(
                 new_icp_error, new_icp_count = icp_error, icp_count
 
             if use_rgb:
-                rgb_term = red.rgb_step(
-                    corres, sigma_val, il,
-                    didx[lvl], didy[lvl], sobel_scale,
-                )
+                if frozen is None:
+                    rgb_term = red.rgb_step(
+                        corres, sigma_val, il,
+                        didx[lvl], didy[lvl], sobel_scale,
+                    )
+                else:
+                    rgb_term = frozen[1]
 
             if use_icp and use_rgb:
                 w = icp_weight
@@ -385,7 +413,49 @@ def get_incremental_transformation(
             lastA, lastb, icp_error, icp_count, rgb_error, rgb_count,
             jnp.array(False),
         )
-        carry = jax.lax.fori_loop(0, iters[lvl], body, carry)
+        period = 1 if (rgb_only or not use_icp) else max(1, assoc_period)
+        if period == 1:
+            carry = jax.lax.fori_loop(0, iters[lvl], body, carry)
+        else:
+            # chunked frozen-association schedule: one searching iteration,
+            # then (chunk - 1) gather-free re-linearisations
+            left = iters[lvl]
+            while left > 0:
+                chunk = min(period, left)
+                left -= chunk
+                # --- association iteration (full search, as body does) ---
+                (result_rt_c, t_c, R_c) = carry[0], carry[1], carry[2]
+                assoc = red.icp_associate(
+                    R_c, t_c, frame.vmaps[lvl], frame.nmaps[lvl],
+                    R_prev_inv, t_prev, il, vn_packed,
+                    mask=frame.masks[lvl] if use_mask_icp else None,
+                    mask_id=mask_id if use_mask_icp else None,
+                )
+                if use_rgb:
+                    Rt = _rigid_inverse(result_rt_c)
+                    krk_inv = Kj @ Rt[:3, :3] @ K_invj
+                    kt = Kj @ Rt[:3, 3]
+                    corres = red.compute_rgb_residual(
+                        didx[lvl], didy[lvl],
+                        model.depths[lvl], frame.depths[lvl],
+                        model.intensities[lvl], frame.intensities[lvl],
+                        krk_inv, kt, min_scale, max_depth_delta_rgb,
+                        static_valid=static_valid,
+                    )
+                    tmp_error = jnp.sqrt(corres.sigma_sum) / jnp.maximum(
+                        corres.count, 1.0)
+                    sigma_val = jnp.where(tmp_error == 0, 1.0, corres.count)
+                    rgb_term = red.rgb_step(
+                        corres, sigma_val, il, didx[lvl], didy[lvl],
+                        sobel_scale,
+                    )
+                    carry = carry[:3] + (tmp_error,) + carry[4:8] + (
+                        tmp_error, corres.count, carry[10])
+                else:
+                    rgb_term = None
+                frozen = (assoc, rgb_term)
+                fbody = functools.partial(body, frozen=frozen)
+                carry = jax.lax.fori_loop(0, chunk, fbody, carry)
         (result_rt, t_curr, R_curr, _, lastA, lastb,
          icp_error, icp_count, rgb_error, rgb_count, _) = carry
 

@@ -1,0 +1,173 @@
+"""Round-2c bisect: scalar-output micro timings.
+
+Every jitted probe returns a SCALAR (jnp.sum of its outputs) so (a) XLA
+cannot dead-code-eliminate the compute, and (b) the remote transport never
+transfers more than 4 bytes — both confounds that invalidated earlier
+stage timings.  N=48 pipelined dispatches cut the round-trip floor to
+~5 ms/iter; the 'nothing' probe measures that floor for subtraction.
+"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+from maskfusion_tpu.camera import Resolution, CameraIntrinsics
+from maskfusion_tpu.config import Config
+from maskfusion_tpu.engine import MaskFusion
+from maskfusion_tpu.frame import FrameData
+from maskfusion_tpu.mapping import surfel_map as sm
+from maskfusion_tpu.ops import preprocess as pp, splat as splat_ops, fuse as fuse_ops, clean as clean_ops, fill_in as fill_ops, sort_utils
+from maskfusion_tpu import se3
+from maskfusion_tpu.tracking import odometry as odo
+
+W, H = 640, 480
+intr = CameraIntrinsics(528., 528., 320., 240.)
+cfg = Config(static_mode=True, global_surfel_capacity=1 << 22)
+eng = MaskFusion(Resolution(W, H), intr, cfg)
+u, v = np.meshgrid(np.arange(W), np.arange(H))
+d0 = (1.5 + 0.0004 * u + 0.0003 * v).astype(np.float32)
+r0 = np.stack([(u * 3) % 256, v % 256, (u + v) % 256], -1).astype(np.uint8)
+eng.process_frame(FrameData(rgb=r0, depth=d0))
+eng.process_frame(FrameData(rgb=r0, depth=d0))
+eng.flush_diagnostics()
+rj, dj = jnp.asarray(r0), jnp.asarray(d0)
+glob = eng.models[0]
+B = sm.choose_bucket(eng._last_count, glob.state.map.capacity)
+st = glob.state
+print("bucket:", B, "count:", eng._last_count, flush=True)
+time_delta = cfg.effective_time_delta()
+TIME = 100.0
+mz = jnp.zeros((H, W), jnp.uint8)
+
+
+def ssum(*xs):
+    tot = jnp.float32(0)
+    for x in xs:
+        for l in jax.tree.leaves(x):
+            tot = tot + jnp.sum(l.astype(jnp.float32))
+    return tot
+
+
+def timeit(name, jfn, N=48):
+    o = jfn()
+    jax.block_until_ready(o)
+    t0 = time.perf_counter()
+    for i in range(N):
+        o = jfn()
+    jax.device_get(o)
+    dt = (time.perf_counter() - t0) / N * 1000
+    print(f"{name:36s} {dt:8.2f} ms", flush=True)
+    return dt
+
+
+nothing = jax.jit(lambda x: x + 1.0)
+timeit("nothing (floor)", lambda: nothing(jnp.float32(1.0)))
+
+timeit("bilateral only",
+       lambda f=jax.jit(lambda d: jnp.sum(pp.bilateral_filter_depth(d))):
+       f(dj))
+
+prep_j = jax.jit(lambda r, d: eng._preprocess(r, d, mz))
+prep = jax.block_until_ready(prep_j(rj, dj))
+timeit("preprocess all",
+       lambda f=jax.jit(lambda r, d: ssum(prep_j(r, d))): f(rj, dj))
+
+mp_j = jax.jit(lambda s: odo.build_model_pyramids(
+    s.pred_vmap, s.pred_nmap, s.pred_rgb, s.pose, 3, 6.0))
+mp = jax.block_until_ready(mp_j(st))
+timeit("model pyramids",
+       lambda f=jax.jit(lambda s: ssum(mp_j(s))): f(st))
+
+
+def track_scalar(s, p, m):
+    so3_pyr = [None, None, s.so3_intensity]
+    res = odo.get_incremental_transformation(
+        s.pose[:3, 3], s.pose[:3, :3], p.frame_pyr, m, tuple(so3_pyr), intr,
+        icp_weight=cfg.icp_weight, use_so3=cfg.use_so3, mask_id=jnp.uint8(0),
+        sobel_scale=cfg.sobel_scale,
+        min_grad_magnitudes=cfg.min_grad_magnitudes,
+        assoc_period=cfg.assoc_period, num_levels=3)
+    return ssum(res.t, res.R)
+
+
+timeit("track (GN+so3, w/o pyrbuild)",
+       lambda f=jax.jit(track_scalar): f(st, prep, mp))
+
+pose_inv = jax.block_until_ready(jax.jit(se3.pose_inverse)(st.pose))
+work = sm.prefix_view(st.map, B)
+
+render_j = jax.jit(lambda m, pi: splat_ops.render_index_map(
+    m, pi, intr, H, W, TIME, time_delta, cfg.depth_cutoff))
+im1 = jax.block_until_ready(render_j(work, pose_inv))
+timeit("render_index_map",
+       lambda f=jax.jit(lambda m, pi: ssum(render_j(m, pi))):
+       f(work, pose_inv))
+
+fuse_j = jax.jit(lambda m, im, p, r: fuse_ops.fuse(
+    m, im, p.vmap_raw, p.levels[0]["vmap"], p.levels[0]["nmap"], r, mz,
+    jnp.uint8(0), st.pose, intr, TIME, 1.0, cfg.depth_cutoff,
+    checkerboard=True, parity=0,
+    merge_z_thresh=cfg.surfel_merge_z_thresh))
+fres = jax.block_until_ready(fuse_j(work, im1, prep, rj))
+timeit("fuse (parity static)",
+       lambda f=jax.jit(lambda m, im, p, r: ssum(fuse_j(m, im, p, r).map)):
+       f(work, im1, prep, rj))
+
+clean_j = jax.jit(lambda fm, im, p: clean_ops.clean(
+    fm, im, p.filt_depth, mz, jnp.uint8(0), pose_inv, intr, TIME,
+    time_delta, cfg.conf_threshold_global, cfg.depth_cutoff,
+    cfg.outlier_coefficient, unstable_time_limit=cfg.unstable_time_limit))
+cres = jax.block_until_ready(clean_j(fres.map, im1, prep))
+timeit("clean full",
+       lambda f=jax.jit(lambda fm, im, p: ssum(clean_j(fm, im, p).map)):
+       f(fres.map, im1, prep))
+
+timeit("clean compact_self only",
+       lambda f=jax.jit(lambda m: ssum(sm.compact_self(m, m.conf > 0.5))):
+       f(fres.map))
+
+conf_px = sm.pixel_confidence(H, W, intr, 1.0)
+rad_px = jax.jit(lambda p: sm.radius_from_depth(
+    p.levels[0]["vmap"][..., 2], p.levels[0]["nmap"][..., 2], intr))(prep)
+snap_j = jax.jit(lambda im, fm, cc, ck, np_, p, r: splat_ops.post_fuse_snapshot(
+    im, fm.pos, fm.normal, fm.color, fm.radius, fm.init_time, cc, ck,
+    work.count, np_, p.vmap_raw, p.levels[0]["nmap"], r, conf_px, rad_px,
+    TIME, pose_inv))
+snap = jax.block_until_ready(
+    snap_j(im1, fres.map, cres.conf, cres.keep, fres.new_pixels, prep, rj))
+timeit("post_fuse_snapshot",
+       lambda f=jax.jit(lambda im, fm, cc, ck, np_, p, r: ssum(
+           snap_j(im, fm, cc, ck, np_, p, r))):
+       f(im1, fres.map, cres.conf, cres.keep, fres.new_pixels, prep, rj))
+
+for cl in (3, 0):
+    timeit(f"combined_predict coarse={cl}",
+           lambda f=jax.jit(lambda s_: ssum(splat_ops.combined_predict(
+               s_, intr, cfg.depth_cutoff, coarse_levels=cl))): f(snap))
+
+pred = jax.block_until_ready(jax.jit(lambda s_: splat_ops.combined_predict(
+    s_, intr, cfg.depth_cutoff))(snap))
+timeit("fill_in",
+       lambda f=jax.jit(lambda pr, r, p: ssum(fill_ops.fill_in(
+           pr, r, p.levels[0]["vmap"], p.levels[0]["nmap"]))):
+       f(pred, rj, prep))
+
+# sort primitives at current sizes
+slots = jax.random.randint(jax.random.PRNGKey(1), (76800,), -1, B, jnp.int32)
+vals = [jax.random.normal(jax.random.PRNGKey(2), (76800,)),
+        jax.random.normal(jax.random.PRNGKey(3), (76800, 3)),
+        jax.random.normal(jax.random.PRNGKey(4), (76800, 3)),
+        jax.random.normal(jax.random.PRNGKey(5), (76800, 3)),
+        jax.random.normal(jax.random.PRNGKey(6), (76800,))]
+timeit("segment_sum_dense (76.8k->B)",
+       lambda f=jax.jit(lambda s_, v: ssum(sort_utils.segment_sum_dense(
+           s_, s_ >= 0, v, B))): f(slots, vals))
+
+lin = jax.random.randint(jax.random.PRNGKey(7), (B,), 0, H * W, jnp.int32)
+zz = jax.random.uniform(jax.random.PRNGKey(8), (B,), jnp.float32, 0.1, 5.0)
+timeit("zbuffer_render (B rows)",
+       lambda f=jax.jit(lambda l, z: ssum(sort_utils.zbuffer_render(
+           l, z, jnp.ones((B,), bool), H * W))): f(lin, zz))
+
+# the whole fused step as the engine runs it
+timeit("FULL fused step",
+       lambda f=jax.jit(lambda s, r, d: ssum(eng._fused_static_step.__wrapped__(
+           s, r, d, TIME, B, 0))): f(st, rj, dj), N=24)

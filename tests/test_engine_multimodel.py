@@ -123,3 +123,24 @@ def test_redetection_reactivates_inactive_model():
     ids = [m.model_id for m in eng.models]
     assert old_id in ids, f"model {old_id} not reactivated (models {ids})"
     assert obj not in eng.inactive_models
+
+
+def test_spawn_subtraction_carves_global_map():
+    """-spawnSubtract: on object spawn the global map loses the surfels
+    lying on the object surface (eraseErrorGeometry, Model.cpp:774-887;
+    call site MaskFusion.cpp:355-358 — shipped disabled upstream)."""
+    counts = {}
+    for flag in (False, True):
+        eng = make_engine(spawn_subtraction=True if flag else False)
+        for i in range(3):
+            pts, cols, labels = syn.make_scene_with_object()
+            rgb, depth, lab = syn.render(
+                pts, cols, np.eye(4, dtype=np.float32), syn.DEFAULT_INTR,
+                labels=labels)
+            eng.process_frame(FrameData(rgb=rgb, depth=depth, mask=lab,
+                                        class_ids=[0, 7], timestamp=float(i)))
+        assert len(eng.models) == 2
+        counts[flag] = eng.models[0].surfel_count
+    # the object region covers a meaningful surfel population
+    carved = counts[False] - counts[True]
+    assert carved > 30, f"spawn subtraction removed only {carved} surfels"

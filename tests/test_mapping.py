@@ -199,3 +199,45 @@ def test_fill_in():
     frame_ok = np.isfinite(np.asarray(f["vmap_f"])[..., 0])
     assert np.isfinite(fv[frame_ok]).all()
     assert 0.5 < float(fill_in.coverage(pred)) <= 1.0
+
+
+def test_combined_predict_close_range_no_holes():
+    """A surface mapped at 4 m and revisited at 0.5 m projects each surfel
+    over ~8 px; the reference's radius-sized sprites (splat.vert:54-66)
+    render it solid.  The multiscale candidate pyramid must keep the
+    prediction hole rate < 1% there; the flat +-2 px window alone cannot."""
+    far_z = 4.0
+    # plane sampled at the pixel grid of a 4 m view (one surfel per pixel)
+    us, vs = np.meshgrid(np.arange(W), np.arange(H))
+    px = (us.ravel() - INTR.cx) / INTR.fx * far_z
+    py = (vs.ravel() - INTR.cy) / INTR.fy * far_z
+    n = px.size
+    radius = np.full(n, 1.4142 * far_z / INTR.fx, np.float32)
+    m = sm.SurfelMap(
+        pos=jnp.asarray(np.stack([px, py, np.full(n, far_z)], -1),
+                        jnp.float32),
+        conf=jnp.full((n,), 10.0),
+        color=jnp.zeros((n, 3)),
+        init_time=jnp.ones((n,)),
+        last_seen=jnp.ones((n,)),
+        normal=jnp.asarray(np.tile([0.0, 0.0, -1.0], (n, 1)), jnp.float32),
+        radius=jnp.asarray(radius),
+        count=jnp.asarray(n, jnp.int32),
+    )
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = 3.5  # camera 0.5 m from the plane
+    pose_inv = np.linalg.inv(pose).astype(np.float32)
+    im = splat.render_index_map(m, jnp.asarray(pose_inv), INTR, H, W,
+                                time=1.0, time_delta=1 << 30, max_depth=5.0)
+    interior = (slice(H // 4, 3 * H // 4), slice(W // 4, 3 * W // 4))
+
+    pred = splat.combined_predict(im, INTR, 5.0)
+    holes = np.asarray(pred.depth[interior] == 0)
+    rate = holes.mean()
+    assert rate < 0.01, f"close-range hole rate {rate:.1%}"
+
+    # control: the flat window alone leaves most of the region empty,
+    # proving the pyramid (not the window) provides the coverage
+    pred_flat = splat.combined_predict(im, INTR, 5.0, coarse_levels=0)
+    flat_rate = np.asarray(pred_flat.depth[interior] == 0).mean()
+    assert flat_rate > 0.3, f"expected large holes without pyramid, got {flat_rate:.1%}"
