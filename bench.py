@@ -55,10 +55,17 @@ def main():
 
     # honest pipelined throughput: frames are enqueued without per-frame
     # host syncs; the clock stops only after the LAST frame's diagnostics
-    # arrive, so queued work cannot masquerade as done.
+    # arrive, so queued work cannot masquerade as done.  Each frame's
+    # host->device upload is staged one frame ahead (upload_frame) so the
+    # transfer overlaps the previous frame's compute — the capture thread
+    # does the same in the live readers.
     t0 = time.perf_counter()
-    for f in frames[4:]:
-        engine.process_frame(f)
+    staged = engine.upload_frame(frames[4])
+    for nxt in frames[5:]:
+        nxt_staged = engine.upload_frame(nxt)
+        engine.process_frame(staged)
+        staged = nxt_staged
+    engine.process_frame(staged)
     engine.flush_diagnostics()
     total = time.perf_counter() - t0
 

@@ -48,6 +48,9 @@ class Config:
     # recovery at period 5 is within 0.5% of period 1 (5.61 vs 5.59 mm)
     # while halving the search gathers that dominate tracking cost.
     assoc_period: int = 5
+    # Track all object models in one vmapped dispatch (vs the reference's
+    # sequential per-model loop, MaskFusion.cpp:246-278).
+    batch_object_tracking: bool = True
     dist_threshold: float = 0.10               # m, RGBDOdometry.h:35
     angle_threshold_sine: float = 0.34202      # sin(20deg), RGBDOdometry.h:36
     max_depth_delta_rgb: float = 0.07          # RGBDOdometry.cpp:33

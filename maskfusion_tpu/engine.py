@@ -230,6 +230,42 @@ class MaskFusion:
 
         self._track = jax.jit(track, static_argnames=("is_object",))
 
+        def track_objects(poses, pvs, pns, pcs, so3s, mask_ids,
+                          prep: Preprocessed):
+            """All object models in ONE vmapped dispatch (the reference
+            tracks sequentially, MaskFusion.cpp:246-278; per-dispatch
+            overhead makes the host loop cost ~5 ms per live object)."""
+
+            def one(pose, pv, pn, pc, so3i, mid):
+                model_pyr = odo.build_model_pyramids(
+                    pv, pn, pc, pose, cfg.num_pyr_levels, cfg.max_depth_rgb)
+                so3_pyr = [None] * (cfg.num_pyr_levels - 1) + [so3i]
+                res = odo.get_incremental_transformation(
+                    pose[:3, 3], pose[:3, :3],
+                    prep.frame_pyr, model_pyr, tuple(so3_pyr), intr,
+                    rgb_only=cfg.rgb_only,
+                    icp_weight=cfg.object_icp_weight,
+                    pyramid=cfg.pyramid, fast_odom=cfg.fast_odom,
+                    use_so3=cfg.use_so3, mask_id=mid,
+                    use_mask_rgb=cfg.mask_rgb_residual,
+                    use_mask_icp=cfg.mask_icp_residual,
+                    dist_thresh=cfg.dist_threshold,
+                    angle_thresh_sine=cfg.angle_threshold_sine,
+                    max_depth_delta_rgb=cfg.max_depth_delta_rgb,
+                    sobel_scale=cfg.sobel_scale,
+                    min_grad_magnitudes=cfg.min_grad_magnitudes,
+                    translation_jump_limit=cfg.translation_jump_limit,
+                    num_levels=cfg.num_pyr_levels,
+                    assoc_period=cfg.assoc_period,
+                )
+                pose_new = se3.make_pose(res.R, res.t)
+                return pose_new, jnp.linalg.norm(res.delta[:3, 3])
+
+            return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))(
+                poses, pvs, pns, pcs, so3s, mask_ids)
+
+        self._track_objects = jax.jit(track_objects)
+
         def fuse_clean_predict(state: MapState, prep: Preprocessed, rgb,
                                seg_mask, prev_pose, time, mask_id,
                                conf_threshold, max_depth, weight_multiplier,
@@ -283,7 +319,15 @@ class MaskFusion:
                 work.count, fres.new_pixels,
                 prep.vmap_raw, prep.levels[0]["nmap"], rgb, conf_px, rad_px,
                 time, pose_inv)
-            pred = splat_ops.combined_predict(snap, intr, cfg.depth_cutoff)
+            # quarter-res index render feeds the multiscale predictor so
+            # large projected footprints (surfels mapped far, viewed near)
+            # are covered — splat.vert:54-66 sprite-size parity
+            im_coarse = splat_ops.render_index_map(
+                cres.map, pose_inv, intr.level(2), H >> 2, W >> 2, time,
+                time_delta, max_depth,
+            )
+            pred = splat_ops.combined_predict(snap, intr, cfg.depth_cutoff,
+                                              coarse=(im_coarse, 2))
             if allow_fill_in:
                 # fill-in is enabled for the global model only — object
                 # predictions must stay object-only or tracking would lock
@@ -351,6 +395,17 @@ class MaskFusion:
 
         self._project_ids = jax.jit(project_ids,
                                     static_argnames=("bucket",))
+
+        def project_ids_batched(maps, poses, time, max_depths, bucket: int):
+            """All equal-capacity object models' (depth, id) projections in
+            one vmapped dispatch (GlobalProjection::project loops models,
+            GlobalProjection.cpp:48-75)."""
+            return jax.vmap(
+                lambda m, p, md: project_ids(m, p, time, md, bucket)
+            )(maps, poses, max_depths)
+
+        self._project_ids_batched = jax.jit(project_ids_batched,
+                                            static_argnames=("bucket",))
 
         def erase_error(m: sm.SurfelMap, seg_mask, mask_id, depth, pose,
                         bucket: int):
@@ -459,6 +514,24 @@ class MaskFusion:
         self.models.remove(model)
 
     # ------------------------------------------------------------ frame API
+    def upload_frame(self, frame: FrameData) -> FrameData:
+        """Asynchronously stage a frame's images in device HBM.
+
+        jax.device_put returns immediately; calling this for frame t+1
+        right after dispatching frame t overlaps the host->device transfer
+        (~2 MB/frame, a measurable slice of the frame budget on remote
+        transports) with the previous frame's compute.  process_frame
+        accepts the staged arrays transparently (jnp.asarray is a no-op on
+        committed device arrays)."""
+        depth = frame.depth
+        if not isinstance(depth, jax.Array):
+            depth = depth.astype(np.float32)
+        return dataclasses.replace(
+            frame,
+            rgb=jax.device_put(frame.rgb),
+            depth=jax.device_put(depth),
+        )
+
     def process_frame(self, frame: FrameData,
                       gt_pose: Optional[np.ndarray] = None) -> Dict:
         self.tick += 1
@@ -548,20 +621,41 @@ class MaskFusion:
 
             trackable = cfg.trackable_classes
             pending_jumps = []
+            tracked = []
             for model in list(self.models[1:]):
                 is_trackable = (not trackable) or (model.class_id in trackable)
                 if is_trackable:  # trackAllModels=true default (MaskFusion.h:397)
+                    tracked.append(model)
+                else:
+                    cam = np.asarray(glob.state.pose)
+                    model.state = model.state._replace(
+                        pose=jnp.asarray(model.initial_c2w_inv @ cam)
+                    )
+            if tracked and (len(tracked) == 1
+                            or not cfg.batch_object_tracking):
+                for model in tracked:
                     trm = self._track(model.state, prep,
                                       jnp.uint8(model.model_id),
                                       is_object=True)
                     model.state = model.state._replace(pose=trm.pose)
                     pending_jumps.append(
                         (model, jnp.linalg.norm(trm.delta[:3, 3])))
-                else:
-                    cam = np.asarray(glob.state.pose)
-                    model.state = model.state._replace(
-                        pose=jnp.asarray(model.initial_c2w_inv @ cam)
-                    )
+            elif tracked:
+                # one vmapped dispatch for ALL object models (the reference
+                # loops sequentially, MaskFusion.cpp:246-278)
+                new_poses, jump_norms = self._track_objects(
+                    jnp.stack([m.state.pose for m in tracked]),
+                    jnp.stack([m.state.pred_vmap for m in tracked]),
+                    jnp.stack([m.state.pred_nmap for m in tracked]),
+                    jnp.stack([m.state.pred_rgb for m in tracked]),
+                    jnp.stack([m.state.so3_intensity for m in tracked]),
+                    jnp.asarray([m.model_id for m in tracked],
+                                jnp.uint8),
+                    prep,
+                )
+                for i, model in enumerate(tracked):
+                    model.state = model.state._replace(pose=new_poses[i])
+                    pending_jumps.append((model, jump_norms[i]))
             if pending_jumps:
                 # one host sync for all jump checks (MaskFusion.cpp:267-272)
                 jumps = jax.device_get(jnp.stack(
@@ -614,14 +708,34 @@ class MaskFusion:
         if not cfg.static_mode:
             # -------- global projection + segmentation (:289-296) --------
             with self.stopwatch.scope("segmentation"):
-                depths = []
-                for model in self.models:
-                    depths.append(self._project_ids(
-                        model.state.map, model.state.pose,
-                        float(self.tick), model.max_depth
-                        if model.model_id != 0 else cfg.depth_cutoff,
-                        bucket=model.bucket(),
-                    ))
+                depths = [self._project_ids(
+                    glob.state.map, glob.state.pose, float(self.tick),
+                    cfg.depth_cutoff, bucket=glob.bucket(),
+                )]
+                objs = self.models[1:]
+                same_cap = len({m.state.map.capacity for m in objs}) <= 1
+                if len(objs) >= 2 and same_cap:
+                    # one vmapped dispatch for all object models
+                    bucket = max(m.bucket() for m in objs)
+                    stacked = jax.tree.map(
+                        lambda *xs: jnp.stack(xs),
+                        *[m.state.map for m in objs])
+                    ds = self._project_ids_batched(
+                        stacked,
+                        jnp.stack([m.state.pose for m in objs]),
+                        float(self.tick),
+                        jnp.asarray([m.max_depth for m in objs],
+                                    jnp.float32),
+                        bucket=bucket,
+                    )
+                    depths.extend([ds[i] for i in range(len(objs))])
+                else:
+                    for model in objs:
+                        depths.append(self._project_ids(
+                            model.state.map, model.state.pose,
+                            float(self.tick), model.max_depth,
+                            bucket=model.bucket(),
+                        ))
                 ids_vec = jnp.asarray(
                     np.array([m.model_id for m in self.models], np.int32))
                 ids = np.asarray(self._combine_ids(depths, ids_vec))

@@ -267,6 +267,11 @@ def main(argv=None):
         pending = reader.get_next() if reader.has_more() else None
         if pending is None and args.rewind and reader.rewind():
             pending = reader.get_next()  # -r: loop the log forever
+        if pending is not None and cfg.static_mode:
+            # stage the next frame's device upload during this frame's
+            # compute (host segmentation paths need numpy frames, so the
+            # overlap is static-mode only)
+            pending = engine.upload_frame(pending)
         if nn_queue is not None:
             # delay-queue semantics: consume frames only once labelled
             # (or the queue overflows)

@@ -102,7 +102,11 @@ def clean(
         + 2.0 * (index_map.conf > conf_threshold).astype(jnp.float16)
         + 4.0 * (index_map.last_seen == time).astype(jnp.float16)
     )
-    fields = jnp.stack([z_hi, z_lo, it_hi, it_lo, rx, ry, flag], axis=-1)
+    # 8 f16 per tap (7 fields + pad) keeps every rows[:, 8k:8k+8] slice
+    # LANE-ALIGNED — 7-wide slices at odd offsets forced a relayout shuffle
+    # per tap that cost more than the gather itself (measured ~14 ms).
+    fields = jnp.stack([z_hi, z_lo, it_hi, it_lo, rx, ry, flag,
+                        jnp.zeros((H, W), jnp.float16)], axis=-1)
 
     taps = []
     for dy in (-1, 0, 1):
@@ -112,9 +116,16 @@ def clean(
             p = jnp.pad(fields, pad)
             taps.append(p[max(0, dy):max(0, dy) + H,
                           max(0, dx):max(0, dx) + W])
-    wide = jnp.concatenate(
-        taps + [jnp.zeros((H, W, 1), jnp.float16)], axis=-1
-    ).reshape(n_px, 64)
+    # center extras ride the SAME gather (slots 72..74): the frame depth
+    # (f16 hi+lo) and mask label that the confidence-penalty stage would
+    # otherwise fetch with two extra 1-wide random gathers (~3.5 ms each)
+    d_hi, d_lo = hi_lo(depth_input)
+    extras = jnp.stack([
+        d_hi, d_lo, mask.astype(jnp.float16),
+        jnp.zeros((H, W), jnp.float16), jnp.zeros((H, W), jnp.float16),
+        jnp.zeros((H, W), jnp.float16), jnp.zeros((H, W), jnp.float16),
+        jnp.zeros((H, W), jnp.float16)], axis=-1)
+    wide = jnp.concatenate(taps + [extras], axis=-1).reshape(n_px, 80)
 
     kx = jnp.floor(x)
     ky = jnp.floor(y)
@@ -135,7 +146,7 @@ def clean(
     zcount = jnp.zeros((m.capacity,), jnp.int32)
     for k in range(9):
         dy, dx = k // 3 - 1, k % 3 - 1
-        r = rows[:, 7 * k:7 * k + 7]
+        r = rows[:, 8 * k:8 * k + 8]
         c_z_s = r[:, 0].astype(jnp.float32) + r[:, 1].astype(jnp.float32)
         c_it = r[:, 2].astype(jnp.float32) + r[:, 3].astype(jnp.float32)
         fl = r[:, 6].astype(jnp.int32)
@@ -178,10 +189,11 @@ def clean(
     keep = keep | ((last_seen > 0) & ((time - last_seen) > time_delta))
 
     # --- mask-vs-model confidence penalty (copy_unstable.vert:150-156) ---
-    xi = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 1)
-    yi = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 1)
-    w_depth = depth_input[yi, xi]
-    mask_val = mask[yi, xi].astype(jnp.int32)
+    # frame depth + mask at the surfel's pixel come from the wide-table
+    # gather's center-extras slots (no separate 1-wide gathers)
+    w_depth = (rows[:, 72].astype(jnp.float32)
+               + rows[:, 73].astype(jnp.float32))
+    mask_val = rows[:, 74].astype(jnp.int32)
     mask_id_i = jnp.asarray(mask_id, jnp.int32)
     depth_close = (w_depth > lz - 0.05) & (w_depth < lz + 0.05)
     disagree = in_view & (mask_val != mask_id_i) & (mask_val < 255) & depth_close

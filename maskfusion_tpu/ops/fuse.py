@@ -55,6 +55,29 @@ def half_pixel_taps_unique(x: jnp.ndarray, y: jnp.ndarray):
     return taps
 
 
+def _subgrid2(a: jnp.ndarray, p: int) -> jnp.ndarray:
+    """a[p::2, p::2] via a one-hot strided conv.  TPU strided slicing pays
+    lane/sublane shuffles (~1 ms per VGA field, measured); the conv path is
+    ~5x faster (scripts/tpu_probe_decimate.py)."""
+    if a.shape[0] % 2 or a.shape[1] % 2:
+        return a[p::2, p::2]
+    if a.dtype == jnp.bool_:
+        return _subgrid2(a.astype(jnp.float32), p) > 0.5
+    if jnp.issubdtype(a.dtype, jnp.integer):
+        # values in these fields stay < 2^24, exact in f32
+        return _subgrid2(a.astype(jnp.float32), p).astype(a.dtype)
+    if a.ndim == 2:
+        x = a[None, None]
+    else:
+        x = a.transpose(2, 0, 1)[:, None]
+    k = jnp.zeros((1, 1, 2, 2), a.dtype).at[0, 0, p, p].set(1.0)
+    y = jax.lax.conv_general_dilated(
+        x, k, window_strides=(2, 2), padding="VALID")
+    if a.ndim == 2:
+        return y[0, 0]
+    return y[:, 0].transpose(1, 2, 0)
+
+
 class FuseResult(NamedTuple):
     map: SurfelMap
     matched_pixels: jnp.ndarray   # (H, W) bool — merged into an existing surfel
@@ -189,7 +212,7 @@ def fuse(
     if checkerboard and parity is not None:
         # static subgrid: only [parity::2, parity::2] pixels are eligible
         def rows(a):
-            return a[parity::2, parity::2].reshape(
+            return _subgrid2(a, parity).reshape(
                 (-1,) + a.shape[2:])
     else:
         def rows(a):

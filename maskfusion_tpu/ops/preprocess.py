@@ -214,21 +214,20 @@ def transform_maps(
 
 def _resize_half(m: jnp.ndarray, normalize: bool) -> jnp.ndarray:
     """2x downsample of a (H, W, 3) map by 2x2 averaging; NaN if any of the
-    four taps is NaN (ref resizeMapKernel, cudafuncs.cu:366-417)."""
-    H, W = m.shape[:2]
-    h, w = H // 2, W // 2
-    x00 = m[0:2 * h:2, 0:2 * w:2]
-    x01 = m[0:2 * h:2, 1:2 * w:2]
-    x10 = m[1:2 * h:2, 0:2 * w:2]
-    x11 = m[1:2 * h:2, 1:2 * w:2]
-    avg = (x00 + x01 + x10 + x11) * 0.25
+    four taps is NaN (ref resizeMapKernel, cudafuncs.cu:366-417).
+
+    One strided conv per channel instead of four [::2] slices: TPU strided
+    slicing pays lane/sublane shuffles (scripts/tpu_probe_decimate.py), and
+    NaN taps propagate through the convolution exactly like the explicit
+    any-NaN gate did."""
+    x = m.transpose(2, 0, 1)[:, None]                    # (3, 1, H, W)
+    k = jnp.full((1, 1, 2, 2), 0.25, m.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, k, window_strides=(2, 2), padding="VALID")
+    avg = y[:, 0].transpose(1, 2, 0)
     if normalize:
         avg = avg / jnp.maximum(jnp.linalg.norm(avg, axis=-1, keepdims=True), 1e-20)
-    valid = (
-        jnp.isfinite(x00[..., 0]) & jnp.isfinite(x01[..., 0])
-        & jnp.isfinite(x10[..., 0]) & jnp.isfinite(x11[..., 0])
-    )
-    return jnp.where(valid[..., None], avg, _NAN)
+    return avg
 
 
 def resize_vmap(m: jnp.ndarray) -> jnp.ndarray:

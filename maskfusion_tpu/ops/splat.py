@@ -31,13 +31,6 @@ from maskfusion_tpu.mapping.surfel_map import SurfelMap
 _NAN = jnp.nan
 
 
-def _exp(mask: jnp.ndarray, ndim: int) -> jnp.ndarray:
-    """Broadcast a (h, w) bool to an (h, w, ...) field's rank."""
-    while mask.ndim < ndim:
-        mask = mask[..., None]
-    return mask
-
-
 class IndexMap(NamedTuple):
     index: jnp.ndarray      # (H, W) int32 surfel slot, -1 = empty
     pos: jnp.ndarray        # (H, W, 3) camera-frame surfel position
@@ -166,8 +159,7 @@ def combined_predict(
     intr: CameraIntrinsics,
     max_depth,
     window: int = 2,
-    coarse_levels: int = 3,
-    coarse_window: int = 1,
+    coarse: "tuple[IndexMap, int] | None" = None,
 ) -> Prediction:
     """Per-pixel gather splatting over the index map.
 
@@ -177,14 +169,17 @@ def combined_predict(
 
     The reference rasterises each surfel as a sprite sized by its PROJECTED
     radius (splat.vert:54-88), so a surfel fused at 4 m and revisited at
-    0.5 m fills ~±11 px.  A fixed gather window cannot afford that many
-    taps; instead `coarse_levels` min-depth 2x2 poolings of the index map
-    are scanned with a +-coarse_window tap pattern whose stride doubles per
-    level — level k taps reach +-(coarse_window * 2^k) px, so footprints up
-    to ~+-(2^coarse_levels) px are found at O(levels) extra cost.  The
-    ray-disk test always uses the candidate's exact position/radius, so the
-    hierarchy only affects which candidates are considered, never the
-    geometry of a hit."""
+    0.5 m fills ~+-11 px.  A fixed gather window cannot afford that many
+    taps; `coarse` supplies a second index map rendered at 1/2**k
+    resolution (a z-buffer render is ~2 ms — far cheaper than pooling the
+    full-res map, whose strided 2x2 decimation dominated an earlier
+    design).  Candidate SELECTION over the coarse map runs at the coarse
+    grid with texel rays; the winner under each full-res pixel is then
+    re-validated with the TRUE pixel ray via one row-gather, so the
+    hierarchy affects only which candidates are considered, never the
+    geometry of a hit.  A +-window tap pattern at factor 2**k reaches
+    +-(window + 0.5) * 2**k px of footprint.
+    """
     H, W = index_map.index.shape
     u = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     v = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
@@ -196,78 +191,31 @@ def combined_predict(
     l = jnp.stack([lx / lnorm, ly / lnorm, 1.0 / lnorm], axis=-1)
 
     best_z = jnp.full((H, W), jnp.inf, jnp.float32)
-    # phase 1 tracks only (best_z, best_src): the winning candidate's row in
-    # the concatenated per-level field table.  Everything else about the
-    # winner (normal/color/conf/time) is fetched afterwards with ONE packed
-    # row-gather — tracking 13 fields through every tap's select was ~3x
-    # the arithmetic for no information gain.
+    # phase 1 tracks only (best_z, best_src, normal): the winning
+    # candidate's row in the concatenated field tables.  Everything else
+    # about the winner (color/conf/time) is fetched afterwards with ONE
+    # packed row-gather — tracking all fields through every tap's select
+    # was ~3x the arithmetic for no information gain.
     best_src = jnp.full((H, W), -1, jnp.int32)
     best_normal = jnp.zeros((H, W, 3), jnp.float32)
 
     def shift2(arr, dy, dx, fill):
+        h, w = arr.shape[:2]
         pad = [(max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx))]
         pad += [(0, 0)] * (arr.ndim - 2)
         p = jnp.pad(arr, pad, constant_values=fill)
-        return p[max(0, dy):max(0, dy) + H, max(0, dx):max(0, dx) + W]
-
-    # pyramid of min-depth-pooled candidate fields; level 0 = the index map
-    lvl_fields = [{
-        "index": index_map.index, "depth": index_map.depth,
-        "pos": index_map.pos, "normal": index_map.normal,
-        "radius": index_map.radius, "color": index_map.color,
-        "conf": index_map.conf, "time": index_map.init_time,
-    }]
-    for _ in range(coarse_levels):
-        prev = lvl_fields[-1]
-        ph, pw = prev["depth"].shape
-
-        def quad(a, fill):
-            if ph % 2 or pw % 2:
-                pad = [(0, ph % 2), (0, pw % 2)] + [(0, 0)] * (a.ndim - 2)
-                a = jnp.pad(a, pad, constant_values=fill)
-            return (a[0::2, 0::2], a[0::2, 1::2], a[1::2, 0::2], a[1::2, 1::2])
-
-        fills = {"index": -1, "depth": jnp.inf}
-        q = {k: quad(a, fills.get(k, 0)) for k, a in prev.items()}
-
-        def pick(sel, k):
-            a, b = q[k][0], q[k][1]
-            c, d = q[k][2], q[k][3]
-            ab = jnp.where(_exp(sel[0], a.ndim), a, b)
-            cd = jnp.where(_exp(sel[1], a.ndim), c, d)
-            return jnp.where(_exp(sel[2], a.ndim), ab, cd)
-
-        d0, d1, d2, d3 = q["depth"]
-        s01 = d0 <= d1
-        s23 = d2 <= d3
-        sfin = jnp.minimum(d0, d1) <= jnp.minimum(d2, d3)
-        sel = (s01, s23, sfin)
-        lvl_fields.append({k: pick(sel, k) for k in prev})
-
-    # per-level row offsets into the concatenated attribute table
-    offsets = []
-    at = 0
-    for f in lvl_fields:
-        offsets.append(at)
-        at += f["depth"].shape[0] * f["depth"].shape[1]
+        return p[max(0, dy):max(0, dy) + h, max(0, dx):max(0, dx) + w]
 
     yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
 
-    def shiftc(arr, ch, cw, dy, dx, fill):
-        pad = [(max(0, -dy), max(0, dy)), (max(0, -dx), max(0, dx))]
-        pad += [(0, 0)] * (arr.ndim - 2)
-        p = jnp.pad(arr, pad, constant_values=fill)
-        return p[max(0, dy):max(0, dy) + ch, max(0, dx):max(0, dx) + cw]
-
     # ---- level-0 scan: exact per-pixel rays over the +-window taps ----
     for dy in range(-window, window + 1):
         for dx in range(-window, window + 1):
-            g = lvl_fields[0]
-            cand_idx = shift2(g["index"], dy, dx, -1)
-            cp = shift2(g["pos"], dy, dx, 0.0)
-            cn = shift2(g["normal"], dy, dx, 0.0)
-            crad = shift2(g["radius"], dy, dx, 0.0)
+            cand_idx = shift2(index_map.index, dy, dx, -1)
+            cp = shift2(index_map.pos, dy, dx, 0.0)
+            cn = shift2(index_map.normal, dy, dx, 0.0)
+            crad = shift2(index_map.radius, dy, dx, 0.0)
 
             denom = jnp.sum(l * cn, axis=-1)
             z_star = jnp.sum(cp * cn, axis=-1) / jnp.where(
@@ -289,107 +237,100 @@ def combined_predict(
             best_src = jnp.where(ok, src, best_src)
             best_normal = jnp.where(ok[..., None], cn, best_normal)
 
-    # ---- coarse levels: candidate SELECTION runs entirely at the level's
-    # own resolution with the coarse texel-center ray (upsampling the
-    # candidate fields to full resolution was ~10x the cost for no
-    # accuracy: the exact ray-disk test below re-validates every winner
-    # with the true pixel ray before it can displace a level-0 hit) ----
-    coarse_srcs = []
-    for k in range(1, coarse_levels + 1):
-        f = lvl_fields[k]
-        ch, cw = f["depth"].shape
-        cyy = jax.lax.broadcasted_iota(jnp.float32, (ch, cw), 0)
+    tables = [index_map]
+    if coarse is not None:
+        cim, klog = coarse
+        tables.append(cim)
+        factor = 1 << klog
+        cintr = intr.level(klog)
+        ch, cw = cim.index.shape
         cxx = jax.lax.broadcasted_iota(jnp.float32, (ch, cw), 1)
-        # full-res center of the coarse texel
-        ctr = (1 << k) * 0.5 - 0.5
-        clx = (cxx * (1 << k) + ctr - intr.cx) / intr.fx
-        cly = (cyy * (1 << k) + ctr - intr.cy) / intr.fy
+        cyy = jax.lax.broadcasted_iota(jnp.float32, (ch, cw), 0)
+        clx = (cxx - cintr.cx) / cintr.fx
+        cly = (cyy - cintr.cy) / cintr.fy
         cln = jnp.sqrt(clx * clx + cly * cly + 1.0)
         cl = jnp.stack([clx / cln, cly / cln, 1.0 / cln], axis=-1)
 
         cz = jnp.full((ch, cw), jnp.inf, jnp.float32)
         csrc = jnp.full((ch, cw), -1, jnp.int32)
-        for dy in range(-coarse_window, coarse_window + 1):
-            for dx in range(-coarse_window, coarse_window + 1):
-                cand_idx = shiftc(f["index"], ch, cw, dy, dx, -1)
-                cp = shiftc(f["pos"], ch, cw, dy, dx, 0.0)
-                cn = shiftc(f["normal"], ch, cw, dy, dx, 0.0)
-                crad = shiftc(f["radius"], ch, cw, dy, dx, 0.0)
+        cyy_i = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0)
+        cxx_i = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1)
+        for dy in range(-window, window + 1):
+            for dx in range(-window, window + 1):
+                cand_idx = shift2(cim.index, dy, dx, -1)
+                cp = shift2(cim.pos, dy, dx, 0.0)
+                cn = shift2(cim.normal, dy, dx, 0.0)
+                crad = shift2(cim.radius, dy, dx, 0.0)
                 denom = jnp.sum(cl * cn, axis=-1)
                 z_star = jnp.sum(cp * cn, axis=-1) / jnp.where(
                     jnp.abs(denom) > 1e-12, denom, 1e-12)
                 hit = cl * z_star[..., None]
                 z_cam = hit[..., 2]
                 miss2 = jnp.sum((hit - cp) ** 2, axis=-1)
-                # selection gate: generous radius (coarse ray differs from
-                # the true pixel ray by up to half a texel)
-                slack = (crad + (1 << k) * z_cam / abs(intr.fx))
+                # selection gate: generous radius (the coarse texel ray is
+                # up to one texel off the true pixel ray)
+                slack = crad + factor * z_cam / abs(intr.fx)
+                # rank by 5 cm depth band, then by ray-miss distance —
+                # a pure z-min breaks ties by tap order and can keep a
+                # far-corner candidate whose disk misses half the texel
+                score = (jnp.floor(z_cam * 20.0) * 1e3
+                         + miss2 / jnp.maximum(slack * slack, 1e-12))
                 ok = (
                     (cand_idx >= 0)
                     & (miss2 <= slack * slack)
                     & (z_cam > 0)
                     & (z_cam <= max_depth)
-                    & (z_cam < cz)
+                    & (score < cz)
                 )
-                cz = jnp.where(ok, z_cam, cz)
-                cyy_i = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0)
-                cxx_i = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1)
-                src = (offsets[k]
+                cz = jnp.where(ok, score, cz)
+                src = (H * W
                        + jnp.clip(cyy_i + dy, 0, ch - 1) * cw
                        + jnp.clip(cxx_i + dx, 0, cw - 1))
                 csrc = jnp.where(ok, src, csrc)
-        coarse_srcs.append(csrc)
 
-    if coarse_levels > 0:
-        # exact re-validation: fetch each level's selected candidate under
-        # every full-res pixel (one 1-wide src gather + rows from the
-        # concatenated geometry table) and run the true ray-disk test
+        # exact re-validation under every full-res pixel: one 1-wide src
+        # gather + one packed geometry row-gather, then the true-ray test
         geom = jnp.concatenate([
             jnp.concatenate([
-                f["pos"].reshape(-1, 3),
-                f["normal"].reshape(-1, 3),
-                f["radius"].reshape(-1, 1),
-                jnp.zeros((f["depth"].shape[0] * f["depth"].shape[1], 1),
-                          jnp.float32),
+                t.pos.reshape(-1, 3),
+                t.normal.reshape(-1, 3),
+                t.radius.reshape(-1, 1),
             ], axis=1)
-            for f in lvl_fields
+            for t in tables
         ], axis=0)
-        for k in range(1, coarse_levels + 1):
-            csrc = coarse_srcs[k - 1]
-            ch, cw = lvl_fields[k]["depth"].shape
-            lin = ((yy >> k) * cw + (xx >> k)).reshape(-1)
-            src = csrc.reshape(-1)[lin]
-            rows = geom[jnp.clip(src, 0)]
-            valid = (src >= 0).reshape(H, W)
-            cp = rows[:, 0:3].reshape(H, W, 3)
-            cn = rows[:, 3:6].reshape(H, W, 3)
-            crad = rows[:, 6].reshape(H, W)
-            denom = jnp.sum(l * cn, axis=-1)
-            z_star = jnp.sum(cp * cn, axis=-1) / jnp.where(
-                jnp.abs(denom) > 1e-12, denom, 1e-12)
-            hit = l * z_star[..., None]
-            z_cam = hit[..., 2]
-            miss2 = jnp.sum((hit - cp) ** 2, axis=-1)
-            ok = (
-                valid
-                & (miss2 <= crad * crad)
-                & (z_cam > 0)
-                & (z_cam <= max_depth)
-                & (z_cam < best_z)
-            )
-            best_z = jnp.where(ok, z_cam, best_z)
-            best_src = jnp.where(ok, src.reshape(H, W), best_src)
-            best_normal = jnp.where(ok[..., None], cn, best_normal)
+        lin = ((yy >> klog) * cw + (xx >> klog)).reshape(-1)
+        src = csrc.reshape(-1)[lin]
+        rows = geom[jnp.clip(src, 0)]
+        valid = (src >= 0).reshape(H, W)
+        cp = rows[:, 0:3].reshape(H, W, 3)
+        cn = rows[:, 3:6].reshape(H, W, 3)
+        crad = rows[:, 6].reshape(H, W)
+        denom = jnp.sum(l * cn, axis=-1)
+        z_star = jnp.sum(cp * cn, axis=-1) / jnp.where(
+            jnp.abs(denom) > 1e-12, denom, 1e-12)
+        hit = l * z_star[..., None]
+        z_cam = hit[..., 2]
+        miss2 = jnp.sum((hit - cp) ** 2, axis=-1)
+        ok = (
+            valid
+            & (miss2 <= crad * crad)
+            & (z_cam > 0)
+            & (z_cam <= max_depth)
+            & (z_cam < best_z)
+        )
+        best_z = jnp.where(ok, z_cam, best_z)
+        best_src = jnp.where(ok, src.reshape(H, W), best_src)
+        best_normal = jnp.where(ok[..., None], cn, best_normal)
 
     # phase 2: fetch the winner's appearance attributes in one row-gather
-    # over the concatenated level tables
+    # over the concatenated tables
     attr = jnp.concatenate([
         jnp.concatenate([
-            f["color"].reshape(-1, 3),
-            f["conf"].reshape(-1, 1),
-            f["time"].reshape(-1, 1),
+            t.color.reshape(-1, 3),
+            t.conf.reshape(-1, 1),
+            t.init_time.reshape(-1, 1),
         ], axis=1)
-        for f in lvl_fields
+        for t in tables
     ], axis=0)
     rows = attr[jnp.clip(best_src.reshape(-1), 0)]
     found = best_src.reshape(-1) >= 0

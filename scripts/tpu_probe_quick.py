@@ -110,10 +110,18 @@ snap_j = jax.jit(lambda im, fm, cc, ck, np_, p, r: splat_ops.post_fuse_snapshot(
     TIME, pose_inv))
 snap = jax.block_until_ready(
     snap_j(im1, fres.map, cres.conf, cres.keep, fres.new_pixels, prep, rj))
-for cl in (3, 2):
-    timeit(f"predict 2phase coarse={cl}",
-           lambda f=jax.jit(lambda s_: ssum(splat_ops.combined_predict(
-               s_, intr, cfg.depth_cutoff, coarse_levels=cl))): f(snap))
+rc_j = jax.jit(lambda m, pi: splat_ops.render_index_map(
+    m, pi, intr.level(2), H >> 2, W >> 2, TIME, time_delta,
+    cfg.depth_cutoff))
+im_c = jax.block_until_ready(rc_j(cres.map, pose_inv))
+timeit("render coarse (H/4)",
+       lambda f=jax.jit(lambda m, pi: ssum(rc_j(m, pi))): f(cres.map, pose_inv))
+timeit("predict coarse-render",
+       lambda f=jax.jit(lambda s_, c_: ssum(splat_ops.combined_predict(
+           s_, intr, cfg.depth_cutoff, coarse=(c_, 2)))): f(snap, im_c))
+timeit("predict L0 only",
+       lambda f=jax.jit(lambda s_: ssum(splat_ops.combined_predict(
+           s_, intr, cfg.depth_cutoff))): f(snap))
 
 timeit("FULL fused step", lambda f=jax.jit(
     lambda s, r, d: ssum(eng._fused_static_step.__wrapped__(

@@ -116,3 +116,33 @@ def pose_from(rvec, tvec):
 def rotation_angle_deg(Ra, Rb):
     ctheta = (np.trace(Ra.T @ Rb) - 1) / 2
     return np.degrees(np.arccos(np.clip(ctheta, -1, 1)))
+
+
+def make_scene_with_two_objects(off1=np.zeros(3), off2=np.zeros(3), seed=0):
+    """Wavy background + two displaced textured patches (labels 1 and 2)."""
+    pts_bg, cols_bg = make_scene(seed=seed)
+
+    def patch(cx, cy, phase, off):
+        n = 320
+        x = np.linspace(-0.26, 0.26, n)
+        y = np.linspace(-0.20, 0.20, int(n * 0.75))
+        X, Y = np.meshgrid(x, y)
+        Z = 1.5 + 0.10 * np.sin(4.5 * X + phase) + 0.08 * np.cos(5.5 * Y)
+        p = np.stack([X + cx, Y + cy, Z], -1).reshape(-1, 3).astype(np.float32)
+        p = p + off.astype(np.float32)
+        r = 127.5 + 110 * np.sin(15 * X + phase)
+        g = 127.5 + 110 * np.cos(11 * Y)
+        b = np.full_like(r, 90.0)
+        c = np.stack([r, g, b], -1).reshape(-1, 3).clip(0, 255).astype(np.uint8)
+        return p, c
+
+    p1, c1 = patch(-0.34, -0.05, 0.0, off1)
+    p2, c2 = patch(0.38, 0.02, 1.3, off2)
+    pts = np.concatenate([pts_bg, p1, p2])
+    cols = np.concatenate([cols_bg, c1, c2])
+    labels = np.concatenate([
+        np.zeros(len(pts_bg), np.uint8),
+        np.full(len(p1), 1, np.uint8),
+        np.full(len(p2), 2, np.uint8),
+    ])
+    return pts, cols, labels

@@ -144,3 +144,28 @@ def test_spawn_subtraction_carves_global_map():
     # the object region covers a meaningful surfel population
     carved = counts[False] - counts[True]
     assert carved > 30, f"spawn subtraction removed only {carved} surfels"
+
+
+def test_two_objects_batched_tracking():
+    """Two live object models exercise the single-dispatch vmapped object
+    tracker and the batched global projection.  The guard: the batched
+    path must produce the SAME model poses as the reference-style
+    sequential per-model loop (MaskFusion.cpp:246-278)."""
+    results = {}
+    for batched in (True, False):
+        eng = make_engine(model_spawn_offset=0,
+                          batch_object_tracking=batched)
+        for i in range(5):
+            o1 = np.array([0.006 * max(0, i - 1), 0.0, 0.0])
+            o2 = np.array([0.0, -0.006 * max(0, i - 2), 0.0])
+            pts, cols, labels = syn.make_scene_with_two_objects(o1, o2)
+            rgb, depth, lab = syn.render(
+                pts, cols, np.eye(4, dtype=np.float32), syn.DEFAULT_INTR,
+                labels=labels)
+            eng.process_frame(FrameData(rgb=rgb, depth=depth, mask=lab,
+                                        class_ids=[0, 7, 8],
+                                        timestamp=float(i)))
+        assert len(eng.models) == 3, [m.model_id for m in eng.models]
+        results[batched] = [np.asarray(m.state.pose) for m in eng.models]
+    for pb, ps in zip(results[True], results[False]):
+        np.testing.assert_allclose(pb, ps, atol=1e-4)

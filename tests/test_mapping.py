@@ -229,15 +229,18 @@ def test_combined_predict_close_range_no_holes():
     pose_inv = np.linalg.inv(pose).astype(np.float32)
     im = splat.render_index_map(m, jnp.asarray(pose_inv), INTR, H, W,
                                 time=1.0, time_delta=1 << 30, max_depth=5.0)
+    im_coarse = splat.render_index_map(
+        m, jnp.asarray(pose_inv), INTR.level(2), H >> 2, W >> 2,
+        time=1.0, time_delta=1 << 30, max_depth=5.0)
     interior = (slice(H // 4, 3 * H // 4), slice(W // 4, 3 * W // 4))
 
-    pred = splat.combined_predict(im, INTR, 5.0)
+    pred = splat.combined_predict(im, INTR, 5.0, coarse=(im_coarse, 2))
     holes = np.asarray(pred.depth[interior] == 0)
     rate = holes.mean()
     assert rate < 0.01, f"close-range hole rate {rate:.1%}"
 
     # control: the flat window alone leaves most of the region empty,
-    # proving the pyramid (not the window) provides the coverage
-    pred_flat = splat.combined_predict(im, INTR, 5.0, coarse_levels=0)
+    # proving the coarse level (not the window) provides the coverage
+    pred_flat = splat.combined_predict(im, INTR, 5.0)
     flat_rate = np.asarray(pred_flat.depth[interior] == 0).mean()
-    assert flat_rate > 0.3, f"expected large holes without pyramid, got {flat_rate:.1%}"
+    assert flat_rate > 0.3, f"expected large holes without coarse, got {flat_rate:.1%}"
