@@ -281,8 +281,16 @@ class MaskFusion:
                 weighting = weight_multiplier
             full_map = state.map
             work = sm.prefix_view(full_map, bucket)
+            # predictIndices renders with the GLOBAL depth cutoff — the
+            # per-model max depth only gates which PIXELS may fuse, never
+            # the model's own visibility (the reference passes
+            # maxDepthProcessed here, MaskFusion.cpp:541, while data.vert's
+            # maxDepth uniform gets min(depthCutoff, model max), :527;
+            # gating the render by the per-model depth truncated small
+            # objects' own predictions and made their tracking slide)
             im1 = splat_ops.render_index_map(
-                work, pose_inv, intr, H, W, time, time_delta, max_depth,
+                work, pose_inv, intr, H, W, time, time_delta,
+                cfg.depth_cutoff,
             )
             fres = fuse_ops.fuse(
                 work, im1,
@@ -294,39 +302,36 @@ class MaskFusion:
                 parity=parity,
                 merge_z_thresh=cfg.surfel_merge_z_thresh,
             )
-            # clean tests every surfel against the PRE-fuse index render —
-            # exactly the reference's schedule (Model::clean consumes the
-            # indexMap rendered by predictIndices before fuse,
-            # MaskFusion.cpp:341-352); no second z-buffer render is needed.
+            # second index render after fuse (the reference's schedule:
+            # predictIndices -> fuse -> predictIndices -> clean,
+            # MaskFusion.cpp:541-561); clean and the prediction reuse it
+            im2 = splat_ops.render_index_map(
+                fres.map, pose_inv, intr, H, W, time, time_delta,
+                cfg.depth_cutoff,
+            )
             cres = clean_ops.clean(
-                fres.map, im1, prep.filt_depth, seg_mask, mask_id, pose_inv,
+                fres.map, im2, prep.filt_depth, seg_mask, mask_id, pose_inv,
                 intr, time, time_delta, conf_threshold, max_depth,
                 cfg.outlier_coefficient,
                 unstable_time_limit=cfg.unstable_time_limit,
             )
             final_map = sm.write_back(full_map, cres.map)
-            # prediction reuses the morning render updated to post-fuse/clean
-            # state by one packed row-gather + a dense overlay of the
-            # appended surfels (ops/splat.post_fuse_snapshot) — this removes
-            # the second sort-based index render from the frame
-            conf_px = sm.pixel_confidence(H, W, intr, 1.0) * weighting
-            rad_px = sm.radius_from_depth(
-                prep.levels[0]["vmap"][..., 2],
-                prep.levels[0]["nmap"][..., 2], intr)
-            snap = splat_ops.post_fuse_snapshot(
-                im1, fres.map.pos, fres.map.normal, fres.map.color,
-                fres.map.radius, fres.map.init_time, cres.conf, cres.keep,
-                work.count, fres.new_pixels,
-                prep.vmap_raw, prep.levels[0]["nmap"], rgb, conf_px, rad_px,
-                time, pose_inv)
+            # prediction reuses the post-fuse index map with clean's keep
+            # mask gating the candidates (combinedPredict re-rasterises in
+            # the reference; the index maps carry the same data here)
+            idx = im2.index
+            keep_img = jnp.where(
+                idx >= 0, cres.keep[jnp.clip(idx, 0)], False)
+            im2_gated = im2._replace(index=jnp.where(keep_img, idx, -1))
             # quarter-res index render feeds the multiscale predictor so
             # large projected footprints (surfels mapped far, viewed near)
             # are covered — splat.vert:54-66 sprite-size parity
             im_coarse = splat_ops.render_index_map(
                 cres.map, pose_inv, intr.level(2), H >> 2, W >> 2, time,
-                time_delta, max_depth,
+                time_delta, cfg.depth_cutoff,
             )
-            pred = splat_ops.combined_predict(snap, intr, cfg.depth_cutoff,
+            pred = splat_ops.combined_predict(im2_gated, intr,
+                                              cfg.depth_cutoff,
                                               coarse=(im_coarse, 2))
             if allow_fill_in:
                 # fill-in is enabled for the global model only — object
@@ -720,12 +725,14 @@ class MaskFusion:
                     stacked = jax.tree.map(
                         lambda *xs: jnp.stack(xs),
                         *[m.state.map for m in objs])
+                    # depthCutoff for every model (GlobalProjection.cpp:60
+                    # binds one maxDepth uniform for the whole pass)
                     ds = self._project_ids_batched(
                         stacked,
                         jnp.stack([m.state.pose for m in objs]),
                         float(self.tick),
-                        jnp.asarray([m.max_depth for m in objs],
-                                    jnp.float32),
+                        jnp.full((len(objs),), cfg.depth_cutoff,
+                                 jnp.float32),
                         bucket=bucket,
                     )
                     depths.extend([ds[i] for i in range(len(objs))])
@@ -733,7 +740,7 @@ class MaskFusion:
                     for model in objs:
                         depths.append(self._project_ids(
                             model.state.map, model.state.pose,
-                            float(self.tick), model.max_depth,
+                            float(self.tick), cfg.depth_cutoff,
                             bucket=model.bucket(),
                         ))
                 ids_vec = jnp.asarray(

@@ -213,15 +213,30 @@ def transform_maps(
 
 
 def _resize_half(m: jnp.ndarray, normalize: bool) -> jnp.ndarray:
-    """2x downsample of a (H, W, 3) map by 2x2 averaging; NaN if any of the
-    four taps is NaN (ref resizeMapKernel, cudafuncs.cu:366-417).
+    """2x downsample of a (H, W, 3) map; NaN where any tap is NaN
+    (ref resizeMapKernel, cudafuncs.cu:366-417 — with one deliberate fix).
 
-    One strided conv per channel instead of four [::2] slices: TPU strided
-    slicing pays lane/sublane shuffles (scripts/tpu_probe_decimate.py), and
-    NaN taps propagate through the convolution exactly like the explicit
-    any-NaN gate did."""
+    The reference averages the 2x2 block starting at (2y, 2x), which
+    centres the coarse texel at (2y+0.5, 2x+0.5) — while the depth/image
+    pyramids it is matched against (pyrDownGaussF) centre theirs at
+    (2y, 2x).  That half-texel misregistration biases every coarse-level
+    GN solve by ~quarter-texel of 3D offset; large models average it out
+    at level 0, but a small object model (tens of coarse pixels) inherits
+    a systematic per-frame drift that compounds into tracking failure
+    (measured: 12 mm/solve on a 1900-px object, >1 m over 70 frames).
+    A centre-aligned 3x3 tent (stride 2, pad 1) registers the model
+    pyramid with the frame pyramid exactly.
+
+    One strided conv per channel instead of strided slices: TPU strided
+    slicing pays lane/sublane shuffles (scripts/tpu_probe_decimate.py),
+    and NaN taps propagate through the convolution like the explicit
+    any-NaN gate."""
     x = m.transpose(2, 0, 1)[:, None]                    # (3, 1, H, W)
-    k = jnp.full((1, 1, 2, 2), 0.25, m.dtype)
+    # NaN edge padding keeps the any-NaN semantics at the borders
+    x = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)),
+                constant_values=jnp.nan)
+    k1 = jnp.asarray([1.0, 2.0, 1.0], m.dtype) / 4.0
+    k = (k1[:, None] * k1[None, :]).reshape(1, 1, 3, 3)
     y = jax.lax.conv_general_dilated(
         x, k, window_strides=(2, 2), padding="VALID")
     avg = y[:, 0].transpose(1, 2, 0)

@@ -87,12 +87,15 @@ class GNTerm(NamedTuple):
 
 
 class ICPAssociation(NamedTuple):
-    """Frozen projective association: the gathered model rows + the gates
-    that were evaluated at association time.  Everything pose-dependent
-    (dist/sine/rows) is recomputed cheaply from these in
-    icp_term_from_assoc — the gather is the only expensive part."""
+    """Frozen projective association: the gathered model rows + ALL gates
+    evaluated at association time.  Only the point-to-plane rows
+    re-linearise between refreshes; the inlier SET stays frozen — letting
+    the dist/sine gates float with the pose shrinks the set as the
+    estimate moves and turns the frozen iterations into a runaway on
+    small models (measured: a 76-pixel object diverged 23 cm in one
+    5-iteration chunk with live gates, 1 cm with frozen ones)."""
     vn: jnp.ndarray            # (P, 6) gathered model vertex+normal (world)
-    found_static: jnp.ndarray  # (P,) bool — bounds/finite/mask gates
+    found: jnp.ndarray         # (P,) bool — every search gate, at assoc pose
 
 
 def icp_associate(
@@ -104,16 +107,19 @@ def icp_associate(
     t_prev: jnp.ndarray,
     intr: CameraIntrinsics,
     vn_packed: jnp.ndarray,
+    dist_thresh: float,
+    angle_thresh_sine: float,
     mask: Optional[jnp.ndarray] = None,
     mask_id: Optional[jnp.ndarray] = None,
 ) -> ICPAssociation:
     """Projective correspondence search (ICPReduction::search,
     reduce.cu:292-366): transform the current-frame vertex into the previous
     (model) camera, project, fetch the model's global-frame vertex/normal at
-    that pixel.  This is the random-gather (HBM-latency-bound) half of
-    icp_step; callers may reuse one association for several GN iterations
-    (the reference re-searches every iteration only because fragment-shader
-    texture fetches are free there)."""
+    that pixel, gate by bounds/finiteness/mask and by the dist/sine inlier
+    tests AT THIS POSE.  This is the random-gather (HBM-latency-bound) half
+    of icp_step; callers may reuse one association for several GN
+    iterations (the reference re-searches every iteration only because
+    fragment-shader texture fetches are free there)."""
     H, W = vmap_curr.shape[:2]
     v = vmap_curr.reshape(-1, 3)
     n = nmap_curr.reshape(-1, 3)
@@ -131,16 +137,24 @@ def icp_associate(
     # one 6-wide row-gather instead of two 3-wide (TPU gathers amortise
     # over row width; random-gather throughput is the iteration bottleneck).
     vn = _gather2d(vn_packed, v_proj, u_proj)
+    vprev_g = vn[:, 0:3]
+    nprev_g = vn[:, 3:6]
 
-    found_static = (
+    n_g = n @ R_curr.T
+    dist = jnp.linalg.norm(vprev_g - v_g, axis=-1)
+    sine = jnp.linalg.norm(jnp.cross(n_g, nprev_g), axis=-1)
+
+    found = (
         in_bounds
+        & (sine < angle_thresh_sine)
+        & (dist <= dist_thresh)
         & jnp.isfinite(n[:, 0])
         & jnp.isfinite(vn[:, 3])
         & jnp.isfinite(v[:, 0])
     )
     if mask is not None and mask_id is not None:
-        found_static = found_static & (mask.reshape(-1) == mask_id)
-    return ICPAssociation(vn=vn, found_static=found_static)
+        found = found & (mask.reshape(-1) == mask_id)
+    return ICPAssociation(vn=vn, found=found)
 
 
 def icp_term_from_assoc(
@@ -151,30 +165,18 @@ def icp_term_from_assoc(
     R_prev_inv: jnp.ndarray,
     t_prev: jnp.ndarray,
     assoc: ICPAssociation,
-    dist_thresh: float,
-    angle_thresh_sine: float,
 ) -> GNTerm:
     """Point-to-plane GN term from an existing association
-    (ICPReduction::getProducts, reduce.cu:367-415).  Gather-free: the
-    dist/sine inlier gates and the rows [n, s x n, n.(s-d)] are recomputed
-    from the frozen (P, 6) model rows with the *current* pose, so repeated
-    calls between association refreshes stay exact except for the
-    correspondence pixels themselves."""
+    (ICPReduction::getProducts, reduce.cu:367-415).  Gather-free: the rows
+    [n, s x n, n.(s-d)] re-linearise against the frozen (P, 6) model rows
+    with the *current* pose; the inlier set is the association's (see
+    ICPAssociation — a floating set destabilises the frozen iterations)."""
     v = vmap_curr.reshape(-1, 3)
     n = nmap_curr.reshape(-1, 3)
     v_g = v @ R_curr.T + t_curr
     vprev_g = assoc.vn[:, 0:3]
     nprev_g = assoc.vn[:, 3:6]
-
-    n_g = n @ R_curr.T
-    dist = jnp.linalg.norm(vprev_g - v_g, axis=-1)
-    sine = jnp.linalg.norm(jnp.cross(n_g, nprev_g), axis=-1)
-
-    found = (
-        assoc.found_static
-        & (sine < angle_thresh_sine)
-        & (dist <= dist_thresh)
-    )
+    found = assoc.found
 
     # rows in the previous camera frame (reduce.cu:367-375)
     s_cp = (v_g - t_prev) @ R_prev_inv.T
@@ -220,11 +222,10 @@ def icp_step(
         vn_packed = pack_model_maps(vmap_g_prev, nmap_g_prev)
     assoc = icp_associate(
         R_curr, t_curr, vmap_curr, nmap_curr, R_prev_inv, t_prev, intr,
-        vn_packed, mask, mask_id,
+        vn_packed, dist_thresh, angle_thresh_sine, mask, mask_id,
     )
     return icp_term_from_assoc(
         R_curr, t_curr, vmap_curr, nmap_curr, R_prev_inv, t_prev, assoc,
-        dist_thresh, angle_thresh_sine,
     )
 
 

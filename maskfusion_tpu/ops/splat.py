@@ -359,92 +359,3 @@ def synthesize_depth(pred: Prediction) -> jnp.ndarray:
     return pred.depth
 
 
-def post_fuse_snapshot(
-    im1: IndexMap,
-    post_pos: jnp.ndarray,      # (cap, 3) post-fuse world positions
-    post_normal: jnp.ndarray,   # (cap, 3)
-    post_color: jnp.ndarray,    # (cap, 3)
-    post_radius: jnp.ndarray,   # (cap,)
-    post_init_time: jnp.ndarray,
-    post_conf: jnp.ndarray,     # (cap,) post-clean penalised confidence
-    keep: jnp.ndarray,          # (cap,) bool — clean survivors, same slots
-    base_count: jnp.ndarray,    # () pre-fuse surfel count (append base)
-    new_pix: jnp.ndarray,       # (H, W) bool — pixels appended by fuse
-    vmap_cam: jnp.ndarray,      # (H, W, 3) frame camera-frame vertices
-    nmap_cam: jnp.ndarray,
-    rgb: jnp.ndarray,           # (H, W, 3) uint8
-    conf_px: jnp.ndarray,       # (H, W) appended initial confidence
-    rad_px: jnp.ndarray,        # (H, W) appended radius
-    time,
-    pose_inv: jnp.ndarray,
-) -> IndexMap:
-    """Update a pre-fuse index render to post-fuse/clean state WITHOUT a
-    second z-buffer sort-render (the second-largest per-frame cost).
-
-    The reference renders the index map once per frame (predictIndices,
-    before fuse — MaskFusion.cpp:341-352) and then re-rasterises the whole
-    cleaned map for combinedPredict.  Here prediction reuses the morning
-    render: existing winners get their post-fuse attributes by ONE packed
-    row-gather at `im1.index` (visibility is assumed unchanged by the
-    sub-pixel fusion moves), and the surfels fuse just appended — which by
-    construction project exactly onto their source pixels — are overlaid
-    densely from the frame itself.  combined_predict consumes only these
-    per-pixel candidate fields, so approximate slot indices are never
-    observed beyond their >= 0 validity."""
-    H, W = im1.index.shape
-    n = H * W
-    R = pose_inv[:3, :3]
-    t = pose_inv[:3, 3]
-
-    idx = im1.index.reshape(-1)
-    safe = jnp.clip(idx, 0)
-    from maskfusion_tpu.ops import sort_utils
-
-    packed, slices = sort_utils.pack_columns(
-        [post_pos, post_normal, post_color, post_radius, post_init_time,
-         post_conf])
-    rows = packed[safe]
-    pos_w, norm_w, col_w, rad_w, it_w, conf_w = sort_utils.unpack_columns(
-        rows, slices)
-    pos_cam = pos_w @ R.T + t
-    norm_cam = norm_w @ R.T
-    base_ok = (idx >= 0) & keep[safe] & (conf_w > 0)
-    base_z = jnp.where(base_ok, pos_cam[:, 2], jnp.inf)
-
-    # appended overlay: slot = base_count + rank among appended pixels
-    newf = new_pix.reshape(-1)
-    rank = jnp.cumsum(newf.astype(jnp.int32)) - 1
-    app_slot = base_count.astype(jnp.int32) + rank
-    app_ok = newf & keep[jnp.clip(app_slot, 0, keep.shape[0] - 1)]
-    app_z = jnp.where(app_ok, vmap_cam[..., 2].reshape(-1), jnp.inf)
-
-    use_app = app_ok & (app_z < base_z)
-    any_ok = base_ok | use_app
-
-    def pick(base, app):
-        base = base.reshape(n, -1)
-        app = app.reshape(n, -1)
-        out = jnp.where(use_app[:, None], app, base)
-        return out
-
-    pos_o = pick(pos_cam, vmap_cam)
-    norm_o = pick(norm_cam, nmap_cam)
-    col_o = pick(col_w, rgb.astype(jnp.float32))
-    rad_o = pick(rad_w, rad_px)[:, 0]
-    it_o = pick(it_w, jnp.full((H, W), jnp.asarray(time, jnp.float32)))[:, 0]
-    conf_o = pick(conf_w, conf_px)[:, 0]
-    z_o = jnp.where(use_app, app_z, base_z)
-
-    valid = any_ok & (z_o > 0)
-    return IndexMap(
-        index=jnp.where(valid, jnp.where(use_app, app_slot, safe),
-                        -1).reshape(H, W),
-        pos=pos_o.reshape(H, W, 3),
-        conf=jnp.where(valid, conf_o, 0.0).reshape(H, W),
-        color=col_o.reshape(H, W, 3),
-        init_time=it_o.reshape(H, W),
-        last_seen=jnp.full((H, W), jnp.asarray(time, jnp.float32)),
-        normal=norm_o.reshape(H, W, 3),
-        radius=jnp.where(valid, rad_o, 0.0).reshape(H, W),
-        depth=jnp.where(valid, z_o, jnp.inf).reshape(H, W),
-    )

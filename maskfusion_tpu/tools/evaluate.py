@@ -84,7 +84,8 @@ def ate_rmse(est_path: str, gt_path: str, max_dt: float = 0.02,
 
 
 def segmentation_iou(est_dir: str, gt_dir: str,
-                     ignore_label: int = 255) -> dict:
+                     ignore_label: int = 255,
+                     est_offset: int = 0) -> dict:
     """Per-sequence intersection-over-union between estimated and
     ground-truth label images with best label matching per frame
     (evaluate_segmentation semantics: labels are instance ids whose
@@ -94,15 +95,25 @@ def segmentation_iou(est_dir: str, gt_dir: str,
     def masks_of(d):
         return sorted(n for n in os.listdir(d) if n.endswith(".png"))
 
+    def frame_no(name):
+        digits = "".join(ch for ch in os.path.splitext(name)[0]
+                         if ch.isdigit())
+        return int(digits) if digits else -1
+
+    # index ground truth by frame number: exporters write unpadded
+    # tick-based names (Segmentation5.png, ticks start at 1) while dataset
+    # masks are zero-padded frame-based (Mask0004.png)
+    gt_by_no = {frame_no(n): os.path.join(gt_dir, n)
+                for n in masks_of(gt_dir)}
     est_names = masks_of(est_dir)
     ious = []
     matched_frames = 0
     for name in est_names:
+        no = frame_no(name) + est_offset
         gt_path = os.path.join(gt_dir, name)
-        alt = os.path.join(gt_dir, name.replace("Segmentation", "Mask"))
         if not os.path.exists(gt_path):
-            gt_path = alt
-        if not os.path.exists(gt_path):
+            gt_path = gt_by_no.get(no, "")
+        if not gt_path or not os.path.exists(gt_path):
             continue
         est = cv2.imread(os.path.join(est_dir, name), cv2.IMREAD_GRAYSCALE)
         gt = cv2.imread(gt_path, cv2.IMREAD_GRAYSCALE)

@@ -357,7 +357,6 @@ def get_incremental_transformation(
                         R_curr, t_curr,
                         frame.vmaps[lvl], frame.nmaps[lvl],
                         R_prev_inv, t_prev, frozen[0],
-                        dist_thresh, angle_thresh_sine,
                     )
                 new_icp_error = jnp.sqrt(icp_term.residual_sq) / jnp.maximum(
                     icp_term.count, 1.0
@@ -413,7 +412,13 @@ def get_incremental_transformation(
             lastA, lastb, icp_error, icp_count, rgb_error, rgb_count,
             jnp.array(False),
         )
-        period = 1 if (rgb_only or not use_icp) else max(1, assoc_period)
+        # Frozen association only pays on level 0 (the full-res gathers are
+        # the cost; coarser levels are 4x/16x smaller) — and only level 0
+        # has enough inliers for the frozen re-linearisations to be stable
+        # (a 76-pixel object's coarse level diverged under a 5-iteration
+        # frozen chunk; fresh searches keep it bounded).
+        period = (1 if (rgb_only or not use_icp or lvl > 0)
+                  else max(1, assoc_period))
         if period == 1:
             carry = jax.lax.fori_loop(0, iters[lvl], body, carry)
         else:
@@ -428,6 +433,7 @@ def get_incremental_transformation(
                 assoc = red.icp_associate(
                     R_c, t_c, frame.vmaps[lvl], frame.nmaps[lvl],
                     R_prev_inv, t_prev, il, vn_packed,
+                    dist_thresh, angle_thresh_sine,
                     mask=frame.masks[lvl] if use_mask_icp else None,
                     mask_id=mask_id if use_mask_icp else None,
                 )

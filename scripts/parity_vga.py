@@ -1,0 +1,58 @@
+"""VGA/200-frame parity run (numbers recorded in PARITY.md).
+
+Generates (once) a 640x480 200-frame TUM-layout synthetic sequence with a
+moving object, runs the full CLI pipeline on the TPU, and prints ATE-RMSE
++ instance IoU from the in-tree evaluation tools.
+
+    python scripts/parity_vga.py [--static] [--frames 200]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=200)
+    p.add_argument("--static", action="store_true",
+                   help="background-only static-mode run")
+    p.add_argument("--seq-dir", default="/tmp/parity_seq_vga")
+    p.add_argument("--out-dir", default="/tmp/parity_out_vga")
+    args = p.parse_args()
+
+    from maskfusion_tpu.tools import make_sequence
+    from maskfusion_tpu.tools.evaluate import ate_rmse, segmentation_iou
+    from maskfusion_tpu.main import main as cli
+
+    seq = args.seq_dir + ("_static" if args.static else "")
+    if not os.path.exists(os.path.join(seq, "groundtruth.txt")):
+        print(f"generating {args.frames} VGA frames in {seq} ...", flush=True)
+        make_sequence.generate(seq, frames=args.frames, width=640,
+                               height=480, with_object=not args.static)
+    out = args.out_dir + ("_static" if args.static else "")
+    t0 = time.perf_counter()
+    argv = ["-dir", seq, "-cal", os.path.join(seq, "calibration.txt"),
+            "-exportdir", out, "-ep", "-q"]
+    if args.static:
+        argv += ["-static"]
+    else:
+        argv += ["-method", "precomputed", "-es"]
+    rc = cli(argv)
+    wall = time.perf_counter() - t0
+    assert rc == 0
+    res = {"frames": args.frames, "wall_s": round(wall, 1),
+           "fps": round(args.frames / wall, 2)}
+    res["ate"] = ate_rmse(os.path.join(out, "poses-0.txt"),
+                          os.path.join(seq, "groundtruth.txt"))
+    if not args.static:
+        res["iou"] = segmentation_iou(out, os.path.join(seq, "gt_masks"),
+                                      est_offset=-1)
+    print(json.dumps(res, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -104,12 +104,13 @@ timeit("clean (f16 table)",
 conf_px = sm.pixel_confidence(H, W, intr, 1.0)
 rad_px = jax.jit(lambda p: sm.radius_from_depth(
     p.levels[0]["vmap"][..., 2], p.levels[0]["nmap"][..., 2], intr))(prep)
-snap_j = jax.jit(lambda im, fm, cc, ck, np_, p, r: splat_ops.post_fuse_snapshot(
-    im, fm.pos, fm.normal, fm.color, fm.radius, fm.init_time, cc, ck,
-    work.count, np_, p.vmap_raw, p.levels[0]["nmap"], r, conf_px, rad_px,
-    TIME, pose_inv))
-snap = jax.block_until_ready(
-    snap_j(im1, fres.map, cres.conf, cres.keep, fres.new_pixels, prep, rj))
+im2 = jax.block_until_ready(render_j(fres.map, pose_inv))
+timeit("render im2 (post-fuse)",
+       lambda f=jax.jit(lambda m, pi: ssum(render_j(m, pi))):
+       f(fres.map, pose_inv))
+idx = im2.index
+keep_img = jnp.where(idx >= 0, cres.keep[jnp.clip(idx, 0)], False)
+im2_gated = im2._replace(index=jnp.where(keep_img, idx, -1))
 rc_j = jax.jit(lambda m, pi: splat_ops.render_index_map(
     m, pi, intr.level(2), H >> 2, W >> 2, TIME, time_delta,
     cfg.depth_cutoff))
@@ -118,10 +119,10 @@ timeit("render coarse (H/4)",
        lambda f=jax.jit(lambda m, pi: ssum(rc_j(m, pi))): f(cres.map, pose_inv))
 timeit("predict coarse-render",
        lambda f=jax.jit(lambda s_, c_: ssum(splat_ops.combined_predict(
-           s_, intr, cfg.depth_cutoff, coarse=(c_, 2)))): f(snap, im_c))
+           s_, intr, cfg.depth_cutoff, coarse=(c_, 2)))): f(im2_gated, im_c))
 timeit("predict L0 only",
        lambda f=jax.jit(lambda s_: ssum(splat_ops.combined_predict(
-           s_, intr, cfg.depth_cutoff))): f(snap))
+           s_, intr, cfg.depth_cutoff))): f(im2_gated))
 
 timeit("FULL fused step", lambda f=jax.jit(
     lambda s, r, d: ssum(eng._fused_static_step.__wrapped__(
