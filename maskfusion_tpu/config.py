@@ -95,6 +95,9 @@ class Config:
     # (MaskFusion.cpp:355-358); same default here.
     spawn_subtraction: bool = False
     spawn_subtraction_window: float = 0.05     # depth agreement window (m)
+    # Deformation-graph node budget (the reference's graph buffer holds
+    # 1024 nodes, Deformation.cpp:26)
+    deformation_max_nodes: int = 1024
     model_deactivate_jump: float = 0.2         # translation jump -> deactivate (:267-272)
     keep_all_models: bool = False              # -keep
     min_surfels_keep: int = 4000               # smart-delete (:699-713)

@@ -927,7 +927,8 @@ class MaskFusion:
             return False
         pos = np.asarray(glob.state.map.pos[:n])
         times = np.asarray(glob.state.map.init_time[:n])
-        graph = DeformationGraph.sample_from_map(pos, times, max_nodes=256)
+        graph = DeformationGraph.sample_from_map(
+            pos, times, max_nodes=self.cfg.deformation_max_nodes)
         for c in res.constraints:
             graph.add_constraint(c.source_point, c.target_point)
         total, mean_cons = graph.optimise()

@@ -57,7 +57,7 @@ class DeformationGraph:
 
     @classmethod
     def sample_from_map(cls, positions: np.ndarray, init_times: np.ndarray,
-                        max_nodes: int = 256) -> "DeformationGraph":
+                        max_nodes: int = 1024) -> "DeformationGraph":
         """Systematic sampling in map order (Deformation::sampleGraphModel,
         Deformation.cpp:207-276 — bufferSize 1024 nodes)."""
         order = np.argsort(init_times)
@@ -82,9 +82,14 @@ class DeformationGraph:
         k = min(K_NEIGHBOURS, self.n)
         ids_out = np.empty((len(pts), k), np.int64)
         w_out = np.empty((len(pts), k), np.float64)
+        g32 = self.g.astype(np.float32)
+        g2 = (g32 * g32).sum(1)
         for s in range(0, len(pts), chunk):
-            p = pts[s:s + chunk]
-            d2 = ((p[:, None, :] - self.g[None, :, :]) ** 2).sum(-1)
+            p = pts[s:s + chunk].astype(np.float32)
+            # |p-g|^2 via one GEMM — the (chunk, G, 3) broadcast form
+            # materialised gigabytes at 1024 nodes (70 s per 100k points)
+            d2 = np.maximum(
+                (p * p).sum(1)[:, None] + g2[None] - 2.0 * (p @ g32.T), 0.0)
             if k < self.n:
                 ids = np.argpartition(d2, k - 1, axis=1)[:, :k]
                 # order the k selected by distance (dmax needs the farthest)
