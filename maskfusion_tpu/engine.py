@@ -127,6 +127,18 @@ class MaskFusion:
         self.stopwatch = Stopwatch()
         self.lost = False
         self._last_count = 0
+        # Bucket sizing on the static fast path works from a count ESTIMATE:
+        # _last_count is refreshed only every DIAG_INTERVAL frames, so during
+        # fast exploration the live count can outgrow the chosen bucket
+        # between flushes.  Overflow is a SOFT failure (compact_into clamps;
+        # the dropped new-unstables' pixels stay unmatched and re-append on
+        # the next frame with room), so rather than sizing for the worst-case
+        # append cap (76800/frame at VGA — that would balloon every bucket),
+        # we extrapolate with the OBSERVED per-frame append rate from the
+        # diagnostics and pump the bucket up a step when a flush shows the
+        # count near the bucket ceiling.
+        self._frames_since_flush = 0
+        self._append_rate = 8192.0
         self._last_tracking_ok = True
         self._pending_diag = None
         self.last_frame_recovery = False
@@ -354,7 +366,8 @@ class MaskFusion:
                 pred_vmap=pv, pred_nmap=pn, pred_rgb=pc,
                 so3_intensity=prep.frame_pyr.intensities[cfg.num_pyr_levels - 1],
             )
-            return new_state, cres.removed
+            appended = fres.map.count - work.count
+            return new_state, cres.removed, appended
 
         self._fuse_clean_predict = jax.jit(
             fuse_clean_predict, donate_argnums=(0,),
@@ -371,13 +384,14 @@ class MaskFusion:
             tr = track(state, prep, jnp.uint8(0))
             prev_pose = state.pose
             state = state._replace(pose=tr.pose)
-            new_state, removed = fuse_clean_predict(
+            new_state, removed, appended = fuse_clean_predict(
                 state, prep, rgb, zeros_mask, prev_pose, time, jnp.uint8(0),
                 cfg.conf_threshold_global, cfg.depth_cutoff,
                 cfg.weight_multiplier, True, bucket, parity,
             )
             diag = (tr.icp_error, tr.icp_count, tr.rgb_count,
-                    jnp.max(tr.cov_diag), new_state.map.count, removed)
+                    jnp.max(tr.cov_diag), new_state.map.count, removed,
+                    appended)
             return new_state, diag
 
         self._fused_static_step = jax.jit(
@@ -577,7 +591,15 @@ class MaskFusion:
         # transports; scattered float()/int() reads dominate otherwise)
         if (cfg.static_mode and gt_pose is None and self.ferns is None):
             glob = self.models[0]
-            bucket = sm.choose_bucket(self._last_count,
+            # extrapolate the (up to DIAG_INTERVAL-1 frames stale) fetched
+            # count with the observed append rate so a fast-exploration
+            # burst can't silently outgrow the bucket for long
+            est = min(
+                self._last_count
+                + int(self._append_rate * (self._frames_since_flush + 1)),
+                glob.state.map.capacity)
+            self._frames_since_flush += 1
+            bucket = sm.choose_bucket(est,
                                       glob.state.map.capacity,
                                       current=glob.last_bucket)
             glob.last_bucket = bucket
@@ -859,7 +881,7 @@ class MaskFusion:
                           else model.conf_threshold)
                 max_d = (cfg.depth_cutoff if model.model_id == 0
                          else min(cfg.depth_cutoff, model.max_depth))
-                model.state, removed = self._fuse_clean_predict(
+                model.state, removed, _appended = self._fuse_clean_predict(
                     model.state, prep, rgb, seg_mask,
                     jnp.asarray(model.prev_pose),
                     float(self.tick), jnp.uint8(model.model_id),
@@ -895,10 +917,23 @@ class MaskFusion:
         """Fetch the most recent fused-step diagnostics (one round trip)."""
         if self._pending_diag is None:
             return {}
-        icp_err, icp_cnt, rgb_cnt, cov_max, count, removed = jax.device_get(
-            self._pending_diag)
+        (icp_err, icp_cnt, rgb_cnt, cov_max, count, removed,
+         appended) = jax.device_get(self._pending_diag)
         self._pending_diag = None
         self._last_count = int(count)
+        # append-rate estimate for between-flush bucket sizing: the LAST
+        # frame's actual appends with a floor (a burst can double frame to
+        # frame; the 1.5x margin + choose_bucket headroom absorb that)
+        self._append_rate = max(float(appended) * 1.5, 4096.0)
+        self._frames_since_flush = 0
+        glob = self.models[0] if self.models else None
+        if glob is not None and glob.last_bucket and (
+                self._last_count + 81920 > glob.last_bucket):
+            # flush shows the count near the bucket ceiling: pump the
+            # bucket up a step now rather than risk clamped appends
+            glob.last_bucket = sm.choose_bucket(
+                self._last_count + 131072, glob.state.map.capacity,
+                current=glob.last_bucket)
         self._last_tracking_ok = bool(cov_max <= 1e-4)
         return {
             "surfels": int(count), "icp_error": float(icp_err),

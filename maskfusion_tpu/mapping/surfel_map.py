@@ -41,6 +41,14 @@ class SurfelMap(NamedTuple):
 
 
 def empty(capacity: int) -> SurfelMap:
+    # several hot paths route surfel slot indices through f32 (fuse's
+    # _subgrid2 one-hot conv, splat.pack_index_fields), which is exact only
+    # below 2^24; beyond that slot ids would silently round and merge pixel
+    # updates into wrong surfels.  The reference default (9.44M) fits.
+    if capacity >= 1 << 24:
+        raise ValueError(
+            f"surfel capacity {capacity} >= 2^24 would break f32-exact "
+            "slot-index routing (ops/fuse._subgrid2, splat.pack_index_fields)")
     return SurfelMap(
         pos=jnp.zeros((capacity, 3), jnp.float32),
         conf=jnp.zeros((capacity,), jnp.float32),
@@ -130,6 +138,7 @@ def compact_into(
     from maskfusion_tpu.ops import sort_utils
 
     cap = m.capacity
+    P = keep.shape[0]
     compacted, n_new = sort_utils.compact(
         keep,
         [pos.astype(jnp.float32), conf.astype(jnp.float32),
@@ -138,19 +147,46 @@ def compact_into(
          radius.astype(jnp.float32)],
     )
     packed, slices = sort_utils.pack_columns(compacted)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
     new_count = jnp.minimum(m.count + n_new, cap).astype(jnp.int32)
-    take_new = (slot >= m.count) & (slot < new_count)
-    src = jnp.clip(slot - m.count, 0, keep.shape[0] - 1)
-    # one row-gather moves all new-surfel fields at once
-    grows = packed[src]
-    cpos, cconf, ccol, cit, cls_, cnorm, crad = sort_utils.unpack_columns(
-        grows, slices)
 
-    def merge(old, new):
-        mask = take_new if old.ndim == 1 else take_new[:, None]
-        return jnp.where(mask, new.astype(old.dtype), old)
+    if P >= cap:
+        # the append window covers the whole map: full-width merge
+        slot = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+        take_new = (slot >= m.count) & (slot < new_count)
+        src = jnp.clip(slot - m.count, 0, P - 1)
+        grows = packed[src]
+        cols = sort_utils.unpack_columns(grows, slices)
 
+        def merge(old, new):
+            mask = take_new if old.ndim == 1 else take_new[:, None]
+            return jnp.where(mask, new.astype(old.dtype), old)
+    else:
+        # the appended region is a CONTIGUOUS P-row window at m.count —
+        # write it with dynamic_slice/update_slice instead of the previous
+        # capacity-wide row-gather + full-map select (a cap-row gather costs
+        # ~ms at bucket sizes; the window ops are dense and P-sized).  Near
+        # capacity the window is clamped to [cap-P, cap) and the candidates
+        # shifted to their true slots; overflow rows fall off the end
+        # exactly like the old clamp.
+        offset = jnp.minimum(m.count, cap - P)
+        shift = m.count - offset                      # in [0, P]
+        padded = jnp.concatenate(
+            [jnp.zeros_like(packed), packed], axis=0)
+        window_cand = jax.lax.dynamic_slice(
+            padded, (P - shift, 0), (P, packed.shape[1]))
+        widx = offset + jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)[:, 0]
+        take_new = (widx >= m.count) & (widx < new_count)
+        cols = sort_utils.unpack_columns(window_cand, slices)
+
+        def merge(old, new):
+            sizes = (P,) + old.shape[1:]
+            starts = (offset,) + (0,) * (old.ndim - 1)
+            w_old = jax.lax.dynamic_slice(old, starts, sizes)
+            mask = take_new if old.ndim == 1 else take_new[:, None]
+            w = jnp.where(mask, new.astype(old.dtype), w_old)
+            return jax.lax.dynamic_update_slice(old, w, starts)
+
+    cpos, cconf, ccol, cit, cls_, cnorm, crad = cols
     return SurfelMap(
         pos=merge(m.pos, cpos),
         conf=merge(m.conf, cconf),

@@ -48,6 +48,7 @@ def clean(
     *,
     unstable_time_limit: float = 20.0,
     is_fern: bool = False,
+    compact: bool = True,
 ) -> CleanResult:
     H, W = depth_input.shape
     R = pose_inv[:3, :3]
@@ -90,11 +91,22 @@ def clean(
         lo = (a - hi.astype(jnp.float32)).astype(jnp.float16)
         return hi, lo
 
+    def split_ticks(a):
+        """Integer-valued f32 ticks -> two EXACT f16 components (each an
+        integer < 2048, where f16 is exact).  The naive hi/lo split
+        overflows f16 to inf above 65504 ticks (~36 min at 30 FPS), turning
+        the reconstruction into NaN and silently disabling the free-space
+        violation test; this mod/div-2048 encoding is exact to 2048^2
+        (~4.2M) ticks."""
+        hi = jnp.floor(a / 2048.0)
+        lo = a - hi * 2048.0
+        return hi.astype(jnp.float16), lo.astype(jnp.float16)
+
     px_ray_x = (jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) - intr.cx) / intr.fx
     px_ray_y = (jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) - intr.cy) / intr.fy
     c_z = index_map.pos[..., 2]
     z_hi, z_lo = hi_lo(c_z)
-    it_hi, it_lo = hi_lo(index_map.init_time)
+    it_hi, it_lo = split_ticks(index_map.init_time)
     rx = (index_map.pos[..., 0] - px_ray_x * c_z).astype(jnp.float16)
     ry = (index_map.pos[..., 1] - px_ray_y * c_z).astype(jnp.float16)
     flag = (
@@ -142,38 +154,44 @@ def clean(
     my = (jnp.where(fy_lo, 2, 1), jnp.full_like(kyi, 2),
           jnp.where(fy_lo, 0, 1))
 
-    count = jnp.zeros((m.capacity,), jnp.int32)
-    zcount = jnp.zeros((m.capacity,), jnp.int32)
-    for k in range(9):
-        dy, dx = k // 3 - 1, k % 3 - 1
-        r = rows[:, 8 * k:8 * k + 8]
-        c_z_s = r[:, 0].astype(jnp.float32) + r[:, 1].astype(jnp.float32)
-        c_it = r[:, 2].astype(jnp.float32) + r[:, 3].astype(jnp.float32)
-        fl = r[:, 6].astype(jnp.int32)
-        c_live = (fl & 1) > 0
-        c_conf_ok = (fl & 2) > 0
-        c_ls_now = (fl & 4) > 0
-        # absolute winner xy from the tap pixel's ray and stored residual
-        tap_x = (jnp.clip(kxi + dx, 0, W - 1).astype(jnp.float32)
-                 - intr.cx) / intr.fx
-        tap_y = (jnp.clip(kyi + dy, 0, H - 1).astype(jnp.float32)
-                 - intr.cy) / intr.fy
-        c_x = tap_x * c_z_s + r[:, 4].astype(jnp.float32)
-        c_y = tap_y * c_z_s + r[:, 5].astype(jnp.float32)
-        mult = my[k // 3] * mx[k % 3]
+    # ALL 9 taps evaluated as (9, N) vector ops after ONE relayout of the
+    # gathered table.  The previous per-tap Python loop sliced 7 narrow
+    # (N,1) columns out of the (N, 80) rows per tap — 63 lane-wasting
+    # strided extractions that measured ~10x the arithmetic (~13 ms at
+    # bucket 409600); a single (N, 10, 8) -> (10, 8, N) transpose makes
+    # every field a contiguous (9, N) plane.
+    t9 = rows.reshape(-1, 10, 8).transpose(1, 2, 0)        # (10, 8, N) f16
+    c_z_s = t9[:9, 0].astype(jnp.float32) + t9[:9, 1].astype(jnp.float32)
+    c_it = (t9[:9, 2].astype(jnp.float32) * 2048.0
+            + t9[:9, 3].astype(jnp.float32))
+    fl = t9[:9, 6].astype(jnp.int32)
+    c_live = (fl & 1) > 0
+    c_conf_ok = (fl & 2) > 0
+    c_ls_now = (fl & 4) > 0
+    dx_k = jnp.asarray([k % 3 - 1 for k in range(9)], jnp.int32)[:, None]
+    dy_k = jnp.asarray([k // 3 - 1 for k in range(9)], jnp.int32)[:, None]
+    # absolute winner xy from the tap pixel's ray and stored residual
+    tap_x = (jnp.clip(kxi[None, :] + dx_k, 0, W - 1).astype(jnp.float32)
+             - intr.cx) / intr.fx
+    tap_y = (jnp.clip(kyi[None, :] + dy_k, 0, H - 1).astype(jnp.float32)
+             - intr.cy) / intr.fy
+    c_x = tap_x * c_z_s + t9[:9, 4].astype(jnp.float32)
+    c_y = tap_y * c_z_s + t9[:9, 5].astype(jnp.float32)
+    mx9 = jnp.stack([mx[k % 3] for k in range(9)])          # (9, N)
+    my9 = jnp.stack([my[k // 3] for k in range(9)])
+    mult = mx9 * my9
 
-        base = in_view & c_live & c_conf_ok & (c_z_s > lz)
-        xy_dist = jnp.sqrt((c_x - lp[:, 0]) ** 2 + (c_y - lp[:, 1]) ** 2)
-        # integer ticks reconstruct to +-0.25; testing against (it - 0.5)
-        # keeps the strict `older than` semantics exact for all tick pairs
-        c1 = base & (c_it < m.init_time - 0.5) & (c_z_s - lz < 0.01) & (
-            xy_dist < m.radius * 1.4
-        )
-        c2 = base & c_ls_now & (c_z_s - lz > 0.01) & (
-            jnp.abs(ln[:, 2]) > 0.85
-        )
-        count = count + jnp.where(c1, mult, 0)
-        zcount = zcount + jnp.where(c2, mult, 0)
+    base = in_view[None, :] & c_live & c_conf_ok & (c_z_s > lz[None, :])
+    xy_dist2 = ((c_x - lp[None, :, 0]) ** 2 + (c_y - lp[None, :, 1]) ** 2)
+    # integer ticks reconstruct exactly; testing against (it - 0.5) keeps
+    # the strict `older than` semantics exact for all tick pairs
+    c1 = base & (c_it < (m.init_time - 0.5)[None, :]) & (
+        c_z_s - lz[None, :] < 0.01) & (
+        xy_dist2 < (m.radius * 1.4)[None, :] ** 2)
+    c2 = base & c_ls_now & (c_z_s - lz[None, :] > 0.01) & (
+        (jnp.abs(ln[:, 2]) > 0.85)[None, :])
+    count = jnp.sum(jnp.where(c1, mult, 0), axis=0)
+    zcount = jnp.sum(jnp.where(c2, mult, 0), axis=0)
 
     keep = jnp.ones((m.capacity,), bool)
     keep = keep & jnp.logical_not((count > 8) | (zcount > 4))
@@ -207,12 +225,38 @@ def clean(
 
     keep = keep & m.slot_mask() & (jnp.isfinite(m.pos).all(axis=-1))
 
-    cleaned = SurfelMap(
-        pos=m.pos, conf=conf, color=m.color, init_time=m.init_time,
-        last_seen=last_seen, normal=m.normal, radius=m.radius, count=m.count,
+    if compact:
+        cleaned = SurfelMap(
+            pos=m.pos, conf=conf, color=m.color, init_time=m.init_time,
+            last_seen=last_seen, normal=m.normal, radius=m.radius,
+            count=m.count,
+        )
+        out = sm.compact_self(cleaned, keep)
+        removed = m.count - out.count
+        return CleanResult(map=out, removed=removed, keep=keep,
+                           conf=conf, last_seen=last_seen)
+
+    # kill-in-place: culled surfels are zeroed where they stand instead of
+    # stream-compacted out (the compaction sort + full-width row-gather is
+    # a measurable per-frame cost; the engine runs a real compaction every
+    # few frames to reclaim the holes).  A dead slot has pos=0 (fails the
+    # z>0 render/projection gates), last_seen=0 (fails the resurrection and
+    # activity windows), conf=0 and radius=0 (the liveness marker —
+    # `radius > 0` distinguishes live slots from holes below count).
+    alive = m.radius > 0
+    kill = alive & jnp.logical_not(keep)
+    k3 = keep[:, None]
+    out = SurfelMap(
+        pos=jnp.where(k3, m.pos, 0.0),
+        conf=jnp.where(keep, conf, 0.0),
+        color=jnp.where(k3, m.color, 0.0),
+        init_time=jnp.where(keep, m.init_time, 0.0),
+        last_seen=jnp.where(keep, last_seen, 0.0),
+        normal=jnp.where(k3, m.normal, 0.0),
+        radius=jnp.where(keep, m.radius, 0.0),
+        count=m.count,
     )
-    out = sm.compact_self(cleaned, keep)
-    removed = m.count - out.count
+    removed = jnp.sum(kill.astype(jnp.int32))
     return CleanResult(map=out, removed=removed, keep=keep,
                        conf=conf, last_seen=last_seen)
 

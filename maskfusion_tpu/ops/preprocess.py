@@ -93,6 +93,20 @@ def bilateral_filter_depth(
 _BINOMIAL5 = (1.0, 4.0, 6.0, 4.0, 1.0)
 
 
+def _decimate2(a: jnp.ndarray) -> jnp.ndarray:
+    """a[0::2, 0::2] via a one-hot strided conv.  TPU strided slicing pays
+    lane/sublane shuffles (~1 ms per VGA field, scripts/tpu_probe_decimate);
+    the conv lowering is ~5x faster.  Exact for f32 payloads and for
+    integer-valued floats below 2^24."""
+    if a.shape[0] % 2 or a.shape[1] % 2:
+        return a[0::2, 0::2]
+    x = a.astype(jnp.float32)[None, None]
+    k = jnp.zeros((1, 1, 2, 2), jnp.float32).at[0, 0, 0, 0].set(1.0)
+    y = jax.lax.conv_general_dilated(
+        x, k, window_strides=(2, 2), padding="VALID")[0, 0]
+    return y.astype(a.dtype) if a.dtype != jnp.float32 else y
+
+
 def _separable_masked_blur(vals: jnp.ndarray, valid: jnp.ndarray):
     """5-tap binomial blur of (valid*vals) and valid, separably — 10
     contiguous shifted adds instead of 25 strided taps (lane-strided loads
@@ -126,8 +140,8 @@ def pyr_down_gauss_depth(src: jnp.ndarray) -> jnp.ndarray:
     srcf = src.astype(jnp.float32)
     valid = jnp.isfinite(srcf) & (srcf > 0)
     sum_v, sum_w = _separable_masked_blur(srcf, valid)
-    sum_v = sum_v[0:2 * h:2, 0:2 * w:2]
-    sum_w = sum_w[0:2 * h:2, 0:2 * w:2]
+    sum_v = _decimate2(sum_v[:2 * h, :2 * w])
+    sum_w = _decimate2(sum_w[:2 * h, :2 * w])
     out = sum_v / jnp.maximum(sum_w, 1e-20)
     return jnp.where(sum_w > 0, out, 0.0)
 
@@ -140,8 +154,8 @@ def pyr_down_uchar_gauss(src: jnp.ndarray) -> jnp.ndarray:
     h, w = H // 2, W // 2
     srcf = src.astype(jnp.float32)
     sum_v, sum_w = _separable_masked_blur(srcf, srcf > 0)
-    sum_v = sum_v[0:2 * h:2, 0:2 * w:2]
-    sum_w = sum_w[0:2 * h:2, 0:2 * w:2]
+    sum_v = _decimate2(sum_v[:2 * h, :2 * w])
+    sum_w = _decimate2(sum_w[:2 * h, :2 * w])
     out = sum_v / jnp.maximum(sum_w, 1e-20)
     return out.astype(src.dtype)
 
@@ -152,7 +166,7 @@ def pyr_down_mask_nearest(src: jnp.ndarray) -> jnp.ndarray:
     The reference reuses pyrDownUcharGauss for mask pyramids
     (RGBDOdometry.cpp:200), which *averages instance ids* — a defect we do not
     reproduce; nearest sampling preserves label semantics."""
-    return src[::2, ::2]
+    return _decimate2(src)
 
 
 # ---------------------------------------------------------------------------

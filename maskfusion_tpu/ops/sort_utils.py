@@ -80,25 +80,42 @@ def segment_sum_dense(
     values: Sequence[jnp.ndarray],   # each (P,) or (P, C)
     cap: int,
 ) -> list:
-    """Sum each value array per slot into dense (cap, ...) outputs."""
+    """Sum each value array per slot into dense (cap, ...) outputs.
+
+    Merged sentinel-sort formulation (the zbuffer_render pattern): one
+    sentinel row per slot sorts IN FRONT of that slot's records, so the
+    running column cumsum AT each sentinel equals the prefix sum of all
+    records in earlier slots; consecutive-sentinel differences are the
+    segment totals.  One (P+cap)-row sort + one row-gather + one cumsum +
+    one extraction sort — all individually near-free on TPU, unlike the
+    previous jnp.searchsorted(method='sort') composition which measured
+    ~8.6 ms at (P=76800, cap=409600) against ~0.3 ms for its parts."""
     p = slots.shape[0]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)[:, 0]
     key = jnp.where(valid, slots, cap).astype(jnp.int32)
-    skey, sidx = jax.lax.sort((key, idx), num_keys=1)
-
-    # one searchsorted over cap+1 targets: ends(t) == starts(t+1), so ONE
-    # (cap+1)-row gather of the prefix sums followed by a dense diff gives
-    # every segment total (two separate starts/ends gathers were the
-    # dominant cost of this op)
-    targets = jax.lax.broadcasted_iota(jnp.int32, (cap + 1, 1), 0)[:, 0]
-    bounds = _searchsorted(skey, targets, "left")
-
     mat, slices = pack_columns(values)
-    sv = jnp.where((skey < cap)[:, None], mat[sidx], 0.0)
-    c = jnp.cumsum(sv, axis=0)
-    cpad = jnp.concatenate([jnp.zeros_like(c[:1]), c], axis=0)
-    at_bounds = cpad[bounds]
-    sums = at_bounds[1:] - at_bounds[:-1]
+    mat = jnp.where(valid[:, None], mat, 0.0)
+
+    sent = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+    allk = jnp.concatenate([key, sent])
+    # tag: sentinel (0) sorts before records (1) of the same slot
+    tag = jnp.concatenate([jnp.ones((p,), jnp.int32),
+                           jnp.zeros((cap,), jnp.int32)])
+    row = jnp.concatenate([
+        jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)[:, 0],
+        jnp.full((cap,), p, jnp.int32)])          # sentinels -> zero row
+    k1, t1, r1 = jax.lax.sort((allk, tag, row), num_keys=2)
+
+    matp = jnp.concatenate([mat, jnp.zeros_like(mat[:1])], axis=0)
+    c = jnp.cumsum(matp[r1], axis=0)              # (P+cap, C)
+
+    # extract the cap sentinel rows in slot order
+    k2 = jnp.where(t1 == 0, k1, cap)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (p + cap, 1), 0)[:, 0]
+    _, p3 = jax.lax.sort((k2, pos), num_keys=1)
+    csent = c[p3[:cap]]                           # (cap, C) prefix at slot
+    total = c[-1:]                                # all valid records
+    csent_ext = jnp.concatenate([csent, total], axis=0)
+    sums = csent_ext[1:] - csent_ext[:-1]
     return unpack_columns(sums, slices)
 
 
