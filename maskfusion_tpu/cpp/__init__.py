@@ -58,5 +58,19 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
     lib.mf_depth_mm_to_m.restype = None
     lib.mf_depth_mm_to_m.argtypes = [u16p, f32p, ctypes.c_int64]
+    # sparse Cholesky (compiled only when Eigen headers were found)
+    try:
+        lib.mf_chol_create.restype = ctypes.c_void_p
+        lib.mf_chol_create.argtypes = [ctypes.c_int32, i32p, i32p, f32p]
+        lib.mf_chol_refactor.restype = ctypes.c_int32
+        lib.mf_chol_refactor.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, i32p, i32p, f32p]
+        lib.mf_chol_solve.restype = ctypes.c_int32
+        lib.mf_chol_solve.argtypes = [ctypes.c_void_p, f32p, f32p]
+        lib.mf_chol_destroy.restype = None
+        lib.mf_chol_destroy.argtypes = [ctypes.c_void_p]
+        lib.has_chol = True
+    except AttributeError:
+        lib.has_chol = False
     _lib = lib
     return _lib

@@ -145,3 +145,81 @@ void mf_depth_mm_to_m(const uint16_t* src, float* dst, int64_t n) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Sparse SPD Cholesky for the deformation-graph normal equations.
+//
+// The reference factorises its embedded-deformation GN system with CHOLMOD
+// and re-uses the symbolic analysis across solves (CholeskyDecomp.cpp:31-96);
+// this is the same design on Eigen's SimplicialLLT: analyzePattern once per
+// graph topology, factorize+solve per GN iteration.  Compiled only when the
+// tensorflow-bundled Eigen headers are present (-DMF_HAVE_EIGEN).
+// ---------------------------------------------------------------------------
+#ifdef MF_HAVE_EIGEN
+#include <Eigen/Sparse>
+
+namespace {
+using SpMat = Eigen::SparseMatrix<float>;
+
+struct CholHandle {
+  Eigen::SimplicialLLT<SpMat, Eigen::Lower> llt;
+  int32_t n = 0;
+  bool analyzed = false;
+};
+
+using SpMapC = Eigen::Map<const Eigen::SparseMatrix<float>>;
+
+// zero-copy view of a scipy CSC matrix (sorted indices, compressed):
+// Eigen's compressed column storage matches scipy's exactly.  Single
+// precision: the GN step tolerates ~1e-6 relative solves and the f32
+// factorisation halves the numeric-factor memory traffic (the per-
+// iteration cost).
+SpMapC map_csc(int32_t n, const int32_t* indptr, const int32_t* indices,
+               const float* data) {
+  return SpMapC(n, n, indptr[n], indptr, indices, data);
+}
+}  // namespace
+
+extern "C" {
+
+// Create a handle and run the symbolic analysis for a CSC pattern.
+void* mf_chol_create(int32_t n, const int32_t* indptr,
+                     const int32_t* indices, const float* data) {
+  auto* h = new CholHandle;
+  h->n = n;
+  SpMat A = map_csc(n, indptr, indices, data);
+  h->llt.analyzePattern(A);
+  h->llt.factorize(A);
+  if (h->llt.info() != Eigen::Success) {
+    delete h;
+    return nullptr;
+  }
+  h->analyzed = true;
+  return h;
+}
+
+// Refactorise with new values on the SAME pattern. Returns 0 on success.
+int32_t mf_chol_refactor(void* vh, int32_t n, const int32_t* indptr,
+                         const int32_t* indices, const float* data) {
+  auto* h = static_cast<CholHandle*>(vh);
+  if (!h || h->n != n) return -1;
+  SpMat A = map_csc(n, indptr, indices, data);
+  h->llt.factorize(A);
+  return h->llt.info() == Eigen::Success ? 0 : -2;
+}
+
+// Solve A x = b with the current factorisation. Returns 0 on success.
+int32_t mf_chol_solve(void* vh, const float* b, float* x) {
+  auto* h = static_cast<CholHandle*>(vh);
+  if (!h || !h->analyzed) return -1;
+  Eigen::Map<const Eigen::VectorXf> bv(b, h->n);
+  Eigen::VectorXf xv = h->llt.solve(bv);
+  if (h->llt.info() != Eigen::Success) return -2;
+  Eigen::Map<Eigen::VectorXf>(x, h->n) = xv;
+  return 0;
+}
+
+void mf_chol_destroy(void* vh) { delete static_cast<CholHandle*>(vh); }
+
+}  // extern "C"
+#endif  // MF_HAVE_EIGEN

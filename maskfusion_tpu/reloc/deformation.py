@@ -28,6 +28,50 @@ W_REG = 10.0
 W_CON = 100.0
 K_NEIGHBOURS = 4
 
+_apply_cache = {}
+
+
+def _apply_chunks_jit(pts_c, nrm_c, g, tab, k):
+    """jitted (nchunks, C, 3) deform-blend: per chunk a (C, G) squared
+    distance GEMM, top_k, one (G, 24) row-gather and the affine blend.
+    lax.map keeps peak memory at one chunk's (C, G) matrix."""
+    import jax
+    import jax.numpy as jnp
+
+    key = (pts_c.shape[1:], g.shape[0], k)
+    fn = _apply_cache.get(key)
+    if fn is None:
+        # g/tab enter as ARGUMENTS (closing over device arrays would bake
+        # their values into the compiled graph and retrace per call)
+        def one(g, tab, args):
+            p, nr = args
+            d2 = ((p * p).sum(1)[:, None] + (g * g).sum(1)[None]
+                  - 2.0 * p @ g.T)
+            neg, ids = jax.lax.top_k(-d2, k)
+            d = jnp.sqrt(jnp.maximum(-neg, 0.0))
+            dmax = d[:, -1:] * 1.0001 + 1e-12
+            w = (1.0 - d / dmax) ** 2
+            w = w / jnp.maximum(w.sum(1, keepdims=True), 1e-12)
+            rows = tab[ids]                              # (C, k, 24)
+            Ak = rows[..., 0:9].reshape(rows.shape[0], k, 3, 3)
+            tk = rows[..., 9:12]
+            gk = rows[..., 12:15]
+            iTk = rows[..., 15:24].reshape(rows.shape[0], k, 3, 3)
+            dv = p[:, None, :] - gk
+            o = (w[..., None] * (jnp.einsum("ckij,ckj->cki", Ak, dv)
+                                 + gk + tk)).sum(1)
+            no = (w[..., None] * jnp.einsum(
+                "ckij,ckj->cki", iTk,
+                jnp.broadcast_to(nr[:, None, :], dv.shape))).sum(1)
+            no = no / jnp.maximum(
+                jnp.linalg.norm(no, axis=-1, keepdims=True), 1e-12)
+            return o, no
+
+        fn = jax.jit(lambda pc, nc, gg, tt: jax.lax.map(
+            lambda args: one(gg, tt, args), (pc, nc)))
+        _apply_cache[key] = fn
+    return fn(pts_c, nrm_c, g, tab)
+
 
 @dataclasses.dataclass
 class GraphConstraint:
@@ -240,6 +284,10 @@ class DeformationGraph:
             dx = dx.reshape(self.n, 12)
             self.A += dx[:, :9].reshape(self.n, 3, 3)
             self.t += dx[:, 9:]
+            # converged GN steps stop early — small closures settle in 1-2
+            # iterations, halving the dominant factorise+solve cost
+            if float(np.abs(dx).max()) < 1e-6:
+                break
 
         # final errors
         phi = self.apply_to_points(cons_src)
@@ -247,14 +295,20 @@ class DeformationGraph:
 
     def _solve_normal_equations(self, J: sparse.csr_matrix,
                                 rhs: np.ndarray) -> np.ndarray:
-        """Block-Jacobi-preconditioned CG on the GN normal equations.
+        """Direct sparse Cholesky (native Eigen SimplicialLLT with the
+        symbolic analysis cached across GN iterations — the reference's
+        CholeskyDecomp.cpp:31-96 design on CHOLMOD), falling back to
+        block-Jacobi-preconditioned CG when the native library is absent.
 
-        The reference factorises with CHOLMOD (CholeskyDecomp.cpp); scipy's
-        SuperLU-backed spsolve is ~100x slower on this 12G x 12G system
-        (measured 8.7 s at 1024 nodes), while the system is SPD,
-        graph-sparse (kNN regularisation coupling) and well conditioned by
-        its 12x12 per-node diagonal blocks — CG with those blocks inverted
-        as the preconditioner converges in a few dozen iterations."""
+        scipy's SuperLU-backed spsolve is ~100x slower on this 12G x 12G
+        system (measured 8.7 s at 1024 nodes); CG converges in ~100
+        iterations (~160 ms) and remains the pure-python fallback."""
+        JtJn = (J.T @ J).tocsc()
+        JtJn = JtJn + 1e-8 * sparse.eye(JtJn.shape[0], format="csc")
+        JtJn.sort_indices()
+        x = self._native_chol_solve(JtJn, rhs)
+        if x is not None:
+            return x
         from scipy.sparse.linalg import LinearOperator, cg
 
         nvar = J.shape[1]
@@ -284,6 +338,58 @@ class DeformationGraph:
             x = spsolve(JtJ.tocsc(), rhs)
         return x
 
+    def _native_chol_solve(self, A_csc: sparse.csc_matrix,
+                           rhs: np.ndarray) -> Optional[np.ndarray]:
+        """Factorise+solve through libmfcore's Eigen SimplicialLLT.  The
+        handle (symbolic analysis) is cached on the graph and reused while
+        the sparsity pattern is unchanged — across the GN iterations of one
+        optimise() the pattern is constant, so iterations 2+ only pay the
+        numeric refactorisation (the CHOLMOD-cached-symbolic behaviour of
+        CholeskyDecomp.cpp:48-63)."""
+        from maskfusion_tpu import cpp as native
+
+        lib = native.load()
+        if lib is None or not getattr(lib, "has_chol", False):
+            return None
+        n = A_csc.shape[0]
+        indptr = np.ascontiguousarray(A_csc.indptr, np.int32)
+        indices = np.ascontiguousarray(A_csc.indices, np.int32)
+        data = np.ascontiguousarray(A_csc.data, np.float32)
+        h = getattr(self, "_chol_handle", None)
+        pat = getattr(self, "_chol_pattern", None)
+        same = (h is not None and pat is not None
+                and pat[0] == n and pat[1].shape == indices.shape
+                and np.array_equal(pat[1], indices))
+        if same:
+            if lib.mf_chol_refactor(h, n, indptr, indices, data) != 0:
+                return None
+        else:
+            if h is not None:
+                lib.mf_chol_destroy(h)
+                self._chol_handle = None
+            h = lib.mf_chol_create(n, indptr, indices, data)
+            if not h:
+                return None
+            self._chol_handle = h
+            self._chol_pattern = (n, indices.copy())
+        x = np.empty(n, np.float32)
+        if lib.mf_chol_solve(h, np.ascontiguousarray(rhs, np.float32),
+                             x) != 0:
+            return None
+        return x.astype(np.float64)
+
+    def __del__(self):
+        h = getattr(self, "_chol_handle", None)
+        if h:
+            try:
+                from maskfusion_tpu import cpp as native
+
+                lib = native.load()
+                if lib is not None and getattr(lib, "has_chol", False):
+                    lib.mf_chol_destroy(h)
+            except Exception:
+                pass
+
     @staticmethod
     def _final_errors(phi, cons_dst):
         cons_err = np.linalg.norm(phi - cons_dst, axis=1)
@@ -293,7 +399,54 @@ class DeformationGraph:
 
     # ------------------------------------------------------------- apply
     def apply_to_points(self, pts: np.ndarray,
-                        normals: Optional[np.ndarray] = None):
+                        normals: Optional[np.ndarray] = None,
+                        device: Optional[bool] = None):
+        """Blend-deform points (and optionally normals) by their k nearest
+        graph nodes (copy_unstable.vert:161-341 semantics).
+
+        Large batches run on the TPU (`_apply_points_device`): the kNN is a
+        (P, G) GEMM + top_k and the blend a (G, 24)-row gather — exactly the
+        shapes the hardware is good at (12 s/100k points host-side vs
+        milliseconds on device).  Small batches stay on host."""
+        if device is None:
+            device = len(pts) >= 4096
+        if device:
+            try:
+                return self._apply_points_device(pts, normals)
+            except Exception:
+                pass
+        return self._apply_points_host(pts, normals)
+
+    def _apply_points_device(self, pts, normals=None, chunk: int = 65536):
+        import jax
+        import jax.numpy as jnp
+
+        P = len(pts)
+        k = min(K_NEIGHBOURS, self.n)
+        A = self.A.astype(np.float64)
+        invT = np.linalg.inv(A).transpose(0, 2, 1)
+        tab = np.concatenate([
+            A.reshape(self.n, 9), self.t, self.g, invT.reshape(self.n, 9),
+        ], axis=1).astype(np.float32)                      # (G, 24)
+        g32 = self.g.astype(np.float32)
+        n_pad = (P + chunk - 1) // chunk * chunk
+        pts32 = np.zeros((n_pad, 3), np.float32)
+        pts32[:P] = pts
+        nrm32 = np.zeros((n_pad, 3), np.float32)
+        if normals is not None:
+            nrm32[:P] = normals
+        out, nout = _apply_chunks_jit(
+            jnp.asarray(pts32.reshape(-1, chunk, 3)),
+            jnp.asarray(nrm32.reshape(-1, chunk, 3)),
+            jnp.asarray(g32), jnp.asarray(tab), k)
+        out = np.asarray(out).reshape(n_pad, 3)[:P].astype(np.float64)
+        if normals is not None:
+            nrm = np.asarray(nout).reshape(n_pad, 3)[:P].astype(np.float64)
+            return out, nrm
+        return out
+
+    def _apply_points_host(self, pts: np.ndarray,
+                           normals: Optional[np.ndarray] = None):
         ids, w = self._knn_weights(pts)
         out = np.zeros_like(pts, dtype=np.float64)
         nout = np.zeros_like(pts, dtype=np.float64) if normals is not None else None
