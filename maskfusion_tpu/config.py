@@ -51,6 +51,15 @@ class Config:
     # Track all object models in one vmapped dispatch (vs the reference's
     # sequential per-model loop, MaskFusion.cpp:246-278).
     batch_object_tracking: bool = True
+    # Software-pipelined multi-object frame loop: host segmentation for
+    # frame t-1 runs while the device computes frame t; all device->host
+    # reads (projected ids, edge maps, tracking diagnostics) are prefetched
+    # asynchronously, so a frame never blocks on the device.  Preserves the
+    # reference's dataflow (track(t) sees the map fused through t-1 either
+    # way, MaskFusion.cpp:200-607); lifecycle decisions (spawn/deactivate)
+    # land one frame later.  Falls back to the synchronous path when
+    # relocalisation/close_loops are on or gt poses are supplied.
+    pipelined_multiobject: bool = True
     dist_threshold: float = 0.10               # m, RGBDOdometry.h:35
     angle_threshold_sine: float = 0.34202      # sin(20deg), RGBDOdometry.h:36
     max_depth_delta_rgb: float = 0.07          # RGBDOdometry.cpp:33

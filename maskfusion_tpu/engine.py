@@ -95,6 +95,8 @@ class Model:
     prev_pose: Optional[np.ndarray] = None
     pose_log: List = dataclasses.field(default_factory=list)
     last_bucket: int = 0      # shrink-hysteresis input for choose_bucket
+    count_est: int = -1       # async-refreshed count (pipelined mode);
+                              # -1 = unknown, fall back to a blocking fetch
 
     @property
     def surfel_count(self) -> int:
@@ -103,8 +105,12 @@ class Model:
     def bucket(self) -> int:
         from maskfusion_tpu.mapping import surfel_map as _sm
 
+        # object maps hold tens of thousands of surfels; the global 256k
+        # bucket floor would make every vmapped per-object pass pay ~10x
+        # dead rows (the per-surfel costs scale with bucket, not count)
+        minimum = (1 << 18) if self.model_id == 0 else (1 << 16)
         b = _sm.choose_bucket(self.surfel_count, self.state.map.capacity,
-                              current=self.last_bucket)
+                              minimum=minimum, current=self.last_bucket)
         self.last_bucket = b
         return b
 
@@ -155,6 +161,8 @@ class MaskFusion:
             )
         self.new_model_listeners = []
         self.inactive_model_listeners = []
+        self._pipe = None
+        self._pipelined_active = False
         self._matcher = None
         self.segmenter = None
         if not self.cfg.static_mode:
@@ -282,7 +290,8 @@ class MaskFusion:
                                seg_mask, prev_pose, time, mask_id,
                                conf_threshold, max_depth, weight_multiplier,
                                allow_fill_in: bool, bucket: int,
-                               parity: "int | None" = None):
+                               parity: "int | None" = None,
+                               compact: bool = True):
             pose = state.pose
             pose_inv = se3.pose_inverse(pose)
             if cfg.velocity_fusion_weight:
@@ -326,6 +335,7 @@ class MaskFusion:
                 intr, time, time_delta, conf_threshold, max_depth,
                 cfg.outlier_coefficient,
                 unstable_time_limit=cfg.unstable_time_limit,
+                compact=compact,
             )
             final_map = sm.write_back(full_map, cres.map)
             # prediction reuses the post-fuse index map with clean's keep
@@ -371,14 +381,18 @@ class MaskFusion:
 
         self._fuse_clean_predict = jax.jit(
             fuse_clean_predict, donate_argnums=(0,),
-            static_argnames=("allow_fill_in", "bucket", "parity"),
+            static_argnames=("allow_fill_in", "bucket", "parity", "compact"),
         )
 
         def fused_static_step(state: MapState, rgb, depth, time,
-                              bucket: int, parity: "int | None"):
+                              bucket: int, parity: "int | None",
+                              compact: bool = True):
             """preprocess + track + fuse + clean + predict in ONE dispatch —
             the -static fast path (remote/queued dispatch costs dominate
-            multi-call frames)."""
+            multi-call frames).  `compact=False` frames kill culled surfels
+            in place (clean's stream compaction costs ~4 ms/frame at VGA
+            buckets); a compacting frame every DIAG_INTERVAL reclaims the
+            holes and refreshes the true count."""
             zeros_mask = jnp.zeros((H, W), jnp.uint8)
             prep = preprocess(rgb, depth, zeros_mask)
             tr = track(state, prep, jnp.uint8(0))
@@ -387,7 +401,7 @@ class MaskFusion:
             new_state, removed, appended = fuse_clean_predict(
                 state, prep, rgb, zeros_mask, prev_pose, time, jnp.uint8(0),
                 cfg.conf_threshold_global, cfg.depth_cutoff,
-                cfg.weight_multiplier, True, bucket, parity,
+                cfg.weight_multiplier, True, bucket, parity, compact,
             )
             diag = (tr.icp_error, tr.icp_count, tr.rgb_count,
                     jnp.max(tr.cov_diag), new_state.map.count, removed,
@@ -396,6 +410,31 @@ class MaskFusion:
 
         self._fused_static_step = jax.jit(
             fused_static_step, donate_argnums=(0,),
+            static_argnames=("bucket", "parity", "compact"),
+        )
+
+        def fuse_clean_predict_batched(states, prep: Preprocessed, rgb,
+                                       seg_mask, prev_poses, time, mask_ids,
+                                       conf_thresholds, max_depths,
+                                       weight_multipliers, bucket: int,
+                                       parity: "int | None" = None):
+            """All equal-capacity OBJECT models' fuse+clean+predict in ONE
+            vmapped dispatch (the reference loops models sequentially,
+            MaskFusion.cpp:539-569; per-dispatch overhead dominates the
+            multi-model frame otherwise).  Objects never fill-in
+            (MaskFusion.cpp:619-624), so allow_fill_in is hardwired False."""
+
+            def one(state, prev_pose, mask_id, conf_t, max_d, wm):
+                return fuse_clean_predict(
+                    state, prep, rgb, seg_mask, prev_pose, time, mask_id,
+                    conf_t, max_d, wm, False, bucket, parity, True)
+
+            return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))(
+                states, prev_poses, mask_ids, conf_thresholds, max_depths,
+                weight_multipliers)
+
+        self._fuse_clean_predict_batched = jax.jit(
+            fuse_clean_predict_batched, donate_argnums=(0,),
             static_argnames=("bucket", "parity"),
         )
 
@@ -557,6 +596,13 @@ class MaskFusion:
         t0 = _time.perf_counter()
         cfg = self.cfg
         H, W = self.res.height, self.res.width
+        # pipelined multi-object scheduling: host work for frame t-1
+        # overlaps device work for frame t (zero blocking syncs per frame)
+        if (not cfg.static_mode and gt_pose is None and self.ferns is None
+                and cfg.pipelined_multiobject and self.models
+                and self.segmenter is not None
+                and hasattr(self.segmenter, "_edge_binary")):
+            return self._pipelined_step(frame, t0)
         rgb = jnp.asarray(frame.rgb)
         depth = jnp.asarray(frame.depth.astype(np.float32))
         prev_seg = jnp.asarray(
@@ -606,7 +652,8 @@ class MaskFusion:
             glob.state, d = self._fused_static_step(
                 glob.state, rgb, depth, float(self.tick), bucket=bucket,
                 parity=(self.tick % 2
-                        if cfg.fuse_subsample_checkerboard else None))
+                        if cfg.fuse_subsample_checkerboard else None),
+                compact=(self.tick % self.DIAG_INTERVAL == 0))
             # pose log keeps a device-side copy (the state itself is
             # donated into the next step); export converts lazily
             glob.pose_log.append({
@@ -730,167 +777,20 @@ class MaskFusion:
                         glob.state = glob.state._replace(
                             pose=jnp.asarray(res.pose.astype(np.float32)))
 
-        seg_result = None
         seg_mask_np = np.zeros((H, W), np.uint8)
         if not cfg.static_mode:
             # -------- global projection + segmentation (:289-296) --------
             with self.stopwatch.scope("segmentation"):
-                depths = [self._project_ids(
-                    glob.state.map, glob.state.pose, float(self.tick),
-                    cfg.depth_cutoff, bucket=glob.bucket(),
-                )]
-                objs = self.models[1:]
-                same_cap = len({m.state.map.capacity for m in objs}) <= 1
-                if len(objs) >= 2 and same_cap:
-                    # one vmapped dispatch for all object models
-                    bucket = max(m.bucket() for m in objs)
-                    stacked = jax.tree.map(
-                        lambda *xs: jnp.stack(xs),
-                        *[m.state.map for m in objs])
-                    # depthCutoff for every model (GlobalProjection.cpp:60
-                    # binds one maxDepth uniform for the whole pass)
-                    ds = self._project_ids_batched(
-                        stacked,
-                        jnp.stack([m.state.pose for m in objs]),
-                        float(self.tick),
-                        jnp.full((len(objs),), cfg.depth_cutoff,
-                                 jnp.float32),
-                        bucket=bucket,
-                    )
-                    depths.extend([ds[i] for i in range(len(objs))])
-                else:
-                    for model in objs:
-                        depths.append(self._project_ids(
-                            model.state.map, model.state.pose,
-                            float(self.tick), cfg.depth_cutoff,
-                            bucket=model.bucket(),
-                        ))
-                ids_vec = jnp.asarray(
-                    np.array([m.model_id for m in self.models], np.int32))
-                ids = np.asarray(self._combine_ids(depths, ids_vec))
-
-                if self.spawn_offset < cfg.model_spawn_offset:
-                    self.spawn_offset += 1
-                allow_new = (
-                    self.spawn_offset >= cfg.model_spawn_offset
-                    and len(self.models) < cfg.max_active_models
-                    and (cfg.mask_cutoff_frame is None
-                         or self.tick <= cfg.mask_cutoff_frame)
-                )
-                infos = [ModelInfo(m.model_id, m.class_id) for m in self.models]
-                seg_result = self.segmenter.perform(
-                    frame, prep.levels[0]["vmap"], prep.levels[0]["nmap"],
-                    ids, infos, self._get_next_model_id(False), allow_new,
-                )
-                seg_mask_np = seg_result.full_segmentation
-                self.last_segmentation = seg_mask_np
-
-            # -------- redetect inactive models (MaskFusion::redetectModels
-            #          interface; gutted in the reference :686-689) --------
-            if (cfg.enable_redetection and self.inactive_models
-                    and seg_result.has_new_label):
-                md = seg_result.model_data[-1]
-                sel = seg_result.full_segmentation == md.model_id
-                if sel.any():
-                    ys, xs = np.where(sel)
-                    roi = (int(ys.min()), int(xs.min()),
-                           int(ys.max()) + 1, int(xs.max()) + 1)
-                    det = self._redetect(frame, roi)
-                    if det is not None:
-                        # reactivate instead of spawning a new model
-                        for m in list(self.inactive_models):
-                            if m.model_id == det.model_id:
-                                self.inactive_models.remove(m)
-                                m.prev_pose = np.asarray(glob.state.pose)
-                                m.state = m.state._replace(
-                                    pose=glob.state.pose.copy())
-                                self.models.append(m)
-                                if hasattr(self.segmenter, "remap_new_label"):
-                                    self.segmenter.remap_new_label(
-                                        md.model_id, m.model_id)
-                                seg_result.has_new_label = False
-                                seg_result.full_segmentation = np.where(
-                                    sel, m.model_id,
-                                    seg_result.full_segmentation
-                                ).astype(np.uint8)
-                                seg_mask_np = seg_result.full_segmentation
-                                self.last_segmentation = seg_mask_np
-                                break
-
-            # -------- spawn new model (:314-332) --------
-            if seg_result.has_new_label:
-                new_id = self._get_next_model_id(True)
-                md = seg_result.model_data[-1]
-                new_model = Model(
-                    model_id=new_id,
-                    state=self._empty_state(
-                        prep, rgb, glob.state.pose,
-                        cfg.object_surfel_capacity,
-                    ),
-                    class_id=md.class_id,
-                    conf_threshold=cfg.conf_threshold_object,
-                    max_depth=md.depth_mean + 1.2 * md.depth_std,
-                    is_static=True,
-                    initial_c2w_inv=np.eye(4, dtype=np.float32),
-                )
-                # spawn pose starts at the camera pose; static offset is
-                # identity at spawn (makeStatic, Model.h:264 with pose=I
-                # relative to camera)
-                cam = np.asarray(glob.state.pose)
-                new_model.initial_c2w_inv = np.eye(4, dtype=np.float32)
-                new_model.state = new_model.state._replace(
-                    pose=jnp.asarray(cam)
-                )
-                new_model.prev_pose = cam
-                self.models.append(new_model)
-                for cb in self.new_model_listeners:
-                    cb(new_model)
-                self.spawn_offset = 0
-
-                if cfg.spawn_subtraction:
-                    # eraseErrorGeometry (MaskFusion.cpp:355-358): carve
-                    # global surfels lying on the spawned object's surface
-                    gmap, _erased = self._erase_error(
-                        glob.state.map, jnp.asarray(seg_mask_np),
-                        jnp.uint8(new_id), prep.filt_depth,
-                        glob.state.pose,
-                        bucket=glob.bucket(),
-                    )
-                    glob.state = glob.state._replace(map=gmap)
-
-            # per-model maxDepth + confidence ramp (:334-374)
-            for i, model in enumerate(self.models[1:], start=1):
-                md = seg_result.data_for(model.model_id)
-                if md is not None and not md.is_empty:
-                    model.max_depth = md.depth_mean + 1.2 * md.depth_std
-                    model.unseen_count = 0
-                else:
-                    model.unseen_count += 1
-                model.conf_threshold = min(4.5, model.age / 25.0)
+                ids = np.asarray(self._project_ids_all(float(self.tick)))
+                seg_mask_np = self._segment_and_update_models(
+                    frame, prep, rgb, ids)
         else:
             self.last_segmentation = seg_mask_np
 
         # ---------------- fuse / clean / predict (:539-569) ----------------
-        seg_mask = jnp.asarray(seg_mask_np)
         do_fuse = tracking_ok and not self.lost and not cfg.rgb_only
         with self.stopwatch.scope("fuse"):
-            for model in self.models if do_fuse else []:
-                is_new = model.age == 0 and model.model_id != 0
-                wm = 100.0 if is_new else cfg.weight_multiplier
-                conf_t = (cfg.conf_threshold_global if model.model_id == 0
-                          else model.conf_threshold)
-                max_d = (cfg.depth_cutoff if model.model_id == 0
-                         else min(cfg.depth_cutoff, model.max_depth))
-                model.state, removed, _appended = self._fuse_clean_predict(
-                    model.state, prep, rgb, seg_mask,
-                    jnp.asarray(model.prev_pose),
-                    float(self.tick), jnp.uint8(model.model_id),
-                    float(conf_t), float(max_d), float(wm),
-                    allow_fill_in=(model.model_id == 0),
-                    bucket=model.bucket(),
-                    parity=(self.tick % 2
-                            if cfg.fuse_subsample_checkerboard else None),
-                )
+            self._dispatch_fuse(prep, rgb, seg_mask_np, self.tick, do_fuse)
 
         if self.ferns is not None and not self.lost:
             small = self._fern_views(glob)
@@ -911,10 +811,374 @@ class MaskFusion:
         self.stopwatch.record("Run", (_time.perf_counter() - t0) * 1000)
         return diag
 
+    # ------------------------------------------------- shared frame stages
+    def _bucket_for(self, model: Model) -> int:
+        """Choose a model's per-frame processing bucket without forcing a
+        device sync in pipelined mode: counts are prefetched asynchronously
+        each frame (see _pipelined_step) and consumed one frame stale — safe
+        because bucket overflow is a soft failure (dropped appends re-apply
+        next frame) and choose_bucket adds headroom."""
+        minimum = (1 << 18) if model.model_id == 0 else (1 << 16)
+        headroom = 81920 if model.model_id == 0 else 16384
+        if self._pipelined_active and model.count_est >= 0:
+            count = model.count_est
+        else:
+            count = model.surfel_count          # blocking fetch (sync path)
+            model.count_est = count
+        b = sm.choose_bucket(count, model.state.map.capacity,
+                             headroom=headroom, minimum=minimum,
+                             current=model.last_bucket)
+        model.last_bucket = b
+        return b
+
+    def _project_ids_all(self, time_f: float) -> jnp.ndarray:
+        """Device-side GlobalProjection: all models' (depth, id) renders
+        combined into one uint8 id image (GlobalProjection.cpp:48-75).  No
+        host syncs — callers fetch the returned array."""
+        cfg = self.cfg
+        glob = self.models[0]
+        depths = [self._project_ids(
+            glob.state.map, glob.state.pose, time_f,
+            cfg.depth_cutoff, bucket=self._bucket_for(glob),
+        )]
+        objs = self.models[1:]
+        same_cap = len({m.state.map.capacity for m in objs}) <= 1
+        if len(objs) >= 2 and same_cap:
+            # one vmapped dispatch for all object models
+            bucket = max(self._bucket_for(m) for m in objs)
+            stacked = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[m.state.map for m in objs])
+            # depthCutoff for every model (GlobalProjection.cpp:60 binds
+            # one maxDepth uniform for the whole pass)
+            ds = self._project_ids_batched(
+                stacked,
+                jnp.stack([m.state.pose for m in objs]), time_f,
+                jnp.full((len(objs),), cfg.depth_cutoff, jnp.float32),
+                bucket=bucket,
+            )
+            depths.extend([ds[i] for i in range(len(objs))])
+        else:
+            for model in objs:
+                depths.append(self._project_ids(
+                    model.state.map, model.state.pose, time_f,
+                    cfg.depth_cutoff, bucket=self._bucket_for(model),
+                ))
+        ids_vec = jnp.asarray(
+            np.array([m.model_id for m in self.models], np.int32))
+        return self._combine_ids(depths, ids_vec)
+
+    def _segment_and_update_models(self, frame: FrameData, prep, rgb,
+                                   ids: np.ndarray,
+                                   edge_pair=None,
+                                   tick: "int | None" = None) -> np.ndarray:
+        """Host segmentation + model lifecycle for one frame
+        (MaskFusion.cpp:289-374): segmenter, redetection, spawning (with
+        optional spawn subtraction), per-model maxDepth/confidence ramp.
+        Returns the full segmentation mask."""
+        cfg = self.cfg
+        glob = self.models[0]
+        if tick is None:
+            tick = self.tick
+        if self.spawn_offset < cfg.model_spawn_offset:
+            self.spawn_offset += 1
+        allow_new = (
+            self.spawn_offset >= cfg.model_spawn_offset
+            and len(self.models) < cfg.max_active_models
+            and (cfg.mask_cutoff_frame is None
+                 or tick <= cfg.mask_cutoff_frame)
+        )
+        infos = [ModelInfo(m.model_id, m.class_id) for m in self.models]
+        kw = {"edge_nonedge": edge_pair} if edge_pair is not None else {}
+        seg_result = self.segmenter.perform(
+            frame, prep.levels[0]["vmap"], prep.levels[0]["nmap"],
+            ids, infos, self._get_next_model_id(False), allow_new, **kw,
+        )
+        seg_mask_np = seg_result.full_segmentation
+        self.last_segmentation = seg_mask_np
+
+        # -------- redetect inactive models (MaskFusion::redetectModels
+        #          interface; gutted in the reference :686-689) --------
+        if (cfg.enable_redetection and self.inactive_models
+                and seg_result.has_new_label):
+            md = seg_result.model_data[-1]
+            sel = seg_result.full_segmentation == md.model_id
+            if sel.any():
+                ys, xs = np.where(sel)
+                roi = (int(ys.min()), int(xs.min()),
+                       int(ys.max()) + 1, int(xs.max()) + 1)
+                det = self._redetect(frame, roi)
+                if det is not None:
+                    # reactivate instead of spawning a new model
+                    for m in list(self.inactive_models):
+                        if m.model_id == det.model_id:
+                            self.inactive_models.remove(m)
+                            m.prev_pose = glob.state.pose.copy()
+                            m.state = m.state._replace(
+                                pose=glob.state.pose.copy())
+                            self.models.append(m)
+                            if hasattr(self.segmenter, "remap_new_label"):
+                                self.segmenter.remap_new_label(
+                                    md.model_id, m.model_id)
+                            seg_result.has_new_label = False
+                            seg_result.full_segmentation = np.where(
+                                sel, m.model_id,
+                                seg_result.full_segmentation
+                            ).astype(np.uint8)
+                            seg_mask_np = seg_result.full_segmentation
+                            self.last_segmentation = seg_mask_np
+                            break
+
+        # -------- spawn new model (:314-332) --------
+        if seg_result.has_new_label:
+            new_id = self._get_next_model_id(True)
+            md = seg_result.model_data[-1]
+            new_model = Model(
+                model_id=new_id,
+                state=self._empty_state(
+                    prep, rgb, glob.state.pose,
+                    cfg.object_surfel_capacity,
+                ),
+                class_id=md.class_id,
+                conf_threshold=cfg.conf_threshold_object,
+                max_depth=md.depth_mean + 1.2 * md.depth_std,
+                is_static=True,
+                initial_c2w_inv=np.eye(4, dtype=np.float32),
+            )
+            # spawn pose starts at the camera pose; static offset is
+            # identity at spawn (makeStatic, Model.h:264 with pose=I
+            # relative to camera)
+            new_model.state = new_model.state._replace(
+                pose=glob.state.pose.copy()
+            )
+            new_model.prev_pose = glob.state.pose.copy()
+            self.models.append(new_model)
+            for cb in self.new_model_listeners:
+                cb(new_model)
+            self.spawn_offset = 0
+
+            if cfg.spawn_subtraction:
+                # eraseErrorGeometry (MaskFusion.cpp:355-358): carve
+                # global surfels lying on the spawned object's surface
+                gmap, _erased = self._erase_error(
+                    glob.state.map, jnp.asarray(seg_mask_np),
+                    jnp.uint8(new_id), prep.filt_depth,
+                    glob.state.pose,
+                    bucket=self._bucket_for(glob),
+                )
+                glob.state = glob.state._replace(map=gmap)
+
+        # per-model maxDepth + confidence ramp (:334-374)
+        for model in self.models[1:]:
+            md = seg_result.data_for(model.model_id)
+            if md is not None and not md.is_empty:
+                model.max_depth = md.depth_mean + 1.2 * md.depth_std
+                model.unseen_count = 0
+            else:
+                model.unseen_count += 1
+            model.conf_threshold = min(4.5, model.age / 25.0)
+        return seg_mask_np
+
+    def _dispatch_fuse(self, prep, rgb, seg_mask_np, tick: int,
+                       do_fuse: bool):
+        """fuse + clean + predict dispatch for all models
+        (MaskFusion.cpp:539-569).  Object models go through ONE vmapped
+        dispatch when capacities match (the reference loops sequentially)."""
+        cfg = self.cfg
+        seg_mask = jnp.asarray(seg_mask_np)
+        parity = (tick % 2 if cfg.fuse_subsample_checkerboard else None)
+        fuse_models = list(self.models) if do_fuse else []
+        objs = [m for m in fuse_models if m.model_id != 0]
+        batch_objs = (len(objs) >= 2 and cfg.batch_object_tracking
+                      and len({m.state.map.capacity for m in objs}) == 1)
+        for model in fuse_models:
+            if batch_objs and model.model_id != 0:
+                continue
+            is_new = model.age == 0 and model.model_id != 0
+            wm = 100.0 if is_new else cfg.weight_multiplier
+            conf_t = (cfg.conf_threshold_global if model.model_id == 0
+                      else model.conf_threshold)
+            max_d = (cfg.depth_cutoff if model.model_id == 0
+                     else min(cfg.depth_cutoff, model.max_depth))
+            model.state, removed, _appended = self._fuse_clean_predict(
+                model.state, prep, rgb, seg_mask,
+                jnp.asarray(model.prev_pose),
+                float(tick), jnp.uint8(model.model_id),
+                float(conf_t), float(max_d), float(wm),
+                allow_fill_in=(model.model_id == 0),
+                bucket=self._bucket_for(model),
+                parity=parity,
+            )
+        if batch_objs:
+            bucket = max(self._bucket_for(m) for m in objs)
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                   *[m.state for m in objs])
+            new_states, _removed, _appended = (
+                self._fuse_clean_predict_batched(
+                    stacked, prep, rgb, seg_mask,
+                    jnp.stack([jnp.asarray(m.prev_pose) for m in objs]),
+                    float(tick),
+                    jnp.asarray([m.model_id for m in objs], jnp.uint8),
+                    jnp.asarray([m.conf_threshold for m in objs],
+                                jnp.float32),
+                    jnp.asarray([min(cfg.depth_cutoff, m.max_depth)
+                                 for m in objs], jnp.float32),
+                    jnp.asarray([100.0 if (m.age == 0) else
+                                 cfg.weight_multiplier for m in objs],
+                                jnp.float32),
+                    bucket=bucket, parity=parity,
+                ))
+            for i, m in enumerate(objs):
+                m.state = jax.tree.map(lambda x, i=i: x[i], new_states)
+
+    # --------------------------------------------- pipelined multi-object
+    def _track_models_device(self, prep):
+        """The tracking block with ZERO host syncs: returns (tracked models,
+        stacked jump norms or None, cov-max scalar) as device arrays."""
+        cfg = self.cfg
+        glob = self.models[0]
+        tr = self._track(glob.state, prep, jnp.uint8(0))
+        glob.state = glob.state._replace(pose=tr.pose)
+        cov = jnp.max(tr.cov_diag)
+        trackable = cfg.trackable_classes
+        tracked = []
+        for model in list(self.models[1:]):
+            if (not trackable) or (model.class_id in trackable):
+                tracked.append(model)
+            else:
+                # static objects mirror camera motion (Model.h:263-268)
+                model.state = model.state._replace(
+                    pose=jnp.asarray(model.initial_c2w_inv)
+                    @ glob.state.pose)
+        jump_stack = None
+        if tracked and (len(tracked) == 1 or not cfg.batch_object_tracking):
+            js = []
+            for model in tracked:
+                trm = self._track(model.state, prep,
+                                  jnp.uint8(model.model_id), is_object=True)
+                model.state = model.state._replace(pose=trm.pose)
+                js.append(jnp.linalg.norm(trm.delta[:3, 3]))
+            jump_stack = jnp.stack(js)
+        elif tracked:
+            new_poses, jump_norms = self._track_objects(
+                jnp.stack([m.state.pose for m in tracked]),
+                jnp.stack([m.state.pred_vmap for m in tracked]),
+                jnp.stack([m.state.pred_nmap for m in tracked]),
+                jnp.stack([m.state.pred_rgb for m in tracked]),
+                jnp.stack([m.state.so3_intensity for m in tracked]),
+                jnp.asarray([m.model_id for m in tracked], jnp.uint8),
+                prep,
+            )
+            for i, model in enumerate(tracked):
+                model.state = model.state._replace(pose=new_poses[i])
+            jump_stack = jump_norms
+        return tracked, jump_stack, cov
+
+    @staticmethod
+    def _start_async_copy(x):
+        """Begin a device->host transfer without blocking (supported on all
+        jax backends; harmless no-op when unavailable)."""
+        try:
+            x.copy_to_host_async()
+        except Exception:
+            pass
+
+    def _pipelined_step(self, frame: FrameData, t0: float) -> Dict:
+        """Software-pipelined multi-object frame (SURVEY §3.3 hard part 6
+        applied to the WHOLE host stage, not just Mask R-CNN): frame t-1's
+        host work (segmentation, lifecycle, fuse dispatch) runs now, using
+        device results whose transfers were started last call — then frame
+        t's device work is dispatched and its transfers started.  The
+        reference's dataflow is preserved exactly (track(t) sees the map
+        fused through t-1 in both schedules); only the host-side DECISIONS
+        (spawn/deactivate) land one frame later."""
+        cfg = self.cfg
+        self._pipelined_active = True
+        # ---- host stage: finish frame t-1 ----
+        if self._pipe is not None:
+            self._finish_pipe()
+
+        # ---- device stage: frame t ----
+        rgb = jnp.asarray(frame.rgb)
+        depth = jnp.asarray(frame.depth.astype(np.float32))
+        prev_seg = jnp.asarray(
+            self.last_segmentation
+            if self.last_segmentation is not None
+            else np.zeros((self.res.height, self.res.width), np.uint8))
+        with self.stopwatch.scope("Preprocess"):
+            prep = self._preprocess(rgb, depth, prev_seg)
+        for model in self.models:
+            model.prev_pose = model.state.pose.copy()
+        with self.stopwatch.scope("odom"):
+            tracked, jump_stack, cov = self._track_models_device(prep)
+        with self.stopwatch.scope("projection"):
+            ids_dev = self._project_ids_all(float(self.tick))
+            edge_dev, nonedge_dev = self.segmenter._edge_binary(
+                prep.levels[0]["vmap"], prep.levels[0]["nmap"])
+        counts = jnp.stack([m.state.map.count for m in self.models])
+        for x in (ids_dev, edge_dev, nonedge_dev, cov, jump_stack, counts):
+            if x is not None:
+                self._start_async_copy(x)
+        self._pipe = dict(
+            frame=frame, prep=prep, rgb=rgb, ids=ids_dev, edge=edge_dev,
+            nonedge=nonedge_dev, cov=cov, jumps=jump_stack,
+            tracked=tracked, tick=self.tick,
+            counts=counts, count_models=list(self.models))
+        self._log_poses(frame)
+        out = {
+            "tick": self.tick, "n_models": len(self.models),
+            "model_ids": [m.model_id for m in self.models],
+            "tracking_ok": self._last_tracking_ok,
+            "surfels": self._last_count,
+            "pipelined": True,
+        }
+        self.stopwatch.record("Run", (_time.perf_counter() - t0) * 1000)
+        return out
+
+    def _finish_pipe(self):
+        """Host stage for the pending frame: fetch prefetched device
+        results, segment, update lifecycle, dispatch fuse."""
+        P = self._pipe
+        self._pipe = None
+        cfg = self.cfg
+        tick = P["tick"]
+        counts = np.asarray(P["counts"])
+        for model, c in zip(P["count_models"], counts):
+            model.count_est = int(c)
+        if P["count_models"]:
+            self._last_count = int(counts[0])
+        cov = float(np.asarray(P["cov"]))
+        tracking_ok = cov <= 1e-4
+        self._last_tracking_ok = tracking_ok
+        if P["jumps"] is not None:
+            jumps = np.asarray(P["jumps"])
+            for model, jump in zip(P["tracked"], jumps):
+                if (float(jump) > cfg.model_deactivate_jump
+                        and model in self.models):
+                    self._inactivate_model(model, "movement")
+        ids = np.asarray(P["ids"])
+        with self.stopwatch.scope("segmentation"):
+            seg_mask_np = self._segment_and_update_models(
+                P["frame"], P["prep"], P["rgb"], ids,
+                edge_pair=(P["edge"], P["nonedge"]), tick=tick)
+        do_fuse = tracking_ok and not self.lost and not cfg.rgb_only
+        with self.stopwatch.scope("fuse"):
+            self._dispatch_fuse(P["prep"], P["rgb"], seg_mask_np, tick,
+                                do_fuse)
+        for model in self.models:
+            model.age += 1
+
+    def drain_pipeline(self):
+        """Finish the pending pipelined frame (call after the last
+        process_frame of a stream, and before inspecting map state)."""
+        if getattr(self, "_pipe", None) is not None:
+            self._finish_pipe()
+
     DIAG_INTERVAL = 8
 
     def flush_diagnostics(self):
-        """Fetch the most recent fused-step diagnostics (one round trip)."""
+        """Fetch the most recent fused-step diagnostics (one round trip).
+        In pipelined multi-object mode, also finishes the pending frame."""
+        self.drain_pipeline()
         if self._pending_diag is None:
             return {}
         (icp_err, icp_cnt, rgb_cnt, cov_max, count, removed,
@@ -1009,6 +1273,7 @@ class MaskFusion:
         return np.asarray(self.models[0].state.pose)
 
     def download_map(self, model_index: int = 0):
+        self.drain_pipeline()
         return sm.download(self.models[model_index].state.map)
 
     def all_models(self) -> List[Model]:

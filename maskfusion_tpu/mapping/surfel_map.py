@@ -269,16 +269,21 @@ def choose_bucket(count: int, capacity: int, headroom: int = 81920,
 
 
 def download(m: SurfelMap):
-    """Host-side copy of live surfels (Model::downloadMap, Model.cpp:943-974)."""
+    """Host-side copy of live surfels (Model::downloadMap, Model.cpp:943-974).
+
+    Skips killed-in-place holes (radius == 0 below count — the kill marker
+    of clean(compact=False)); a no-op on freshly compacted maps."""
     import numpy as np
 
     n = int(m.count)
+    radius = np.asarray(m.radius[:n])
+    live = radius > 0
     return {
-        "pos": np.asarray(m.pos[:n]),
-        "conf": np.asarray(m.conf[:n]),
-        "color": np.asarray(m.color[:n]),
-        "init_time": np.asarray(m.init_time[:n]),
-        "last_seen": np.asarray(m.last_seen[:n]),
-        "normal": np.asarray(m.normal[:n]),
-        "radius": np.asarray(m.radius[:n]),
+        "pos": np.asarray(m.pos[:n])[live],
+        "conf": np.asarray(m.conf[:n])[live],
+        "color": np.asarray(m.color[:n])[live],
+        "init_time": np.asarray(m.init_time[:n])[live],
+        "last_seen": np.asarray(m.last_seen[:n])[live],
+        "normal": np.asarray(m.normal[:n])[live],
+        "radius": radius[live],
     }

@@ -74,7 +74,12 @@ class MfSegmentation:
         models: Sequence[ModelInfo],
         next_model_id: int,
         allow_new: bool,
+        edge_nonedge=None,
     ) -> SegmentationResult:
+        """`edge_nonedge`, when given, is a precomputed (edge, nonedge)
+        host pair from `edge_binary()` — the pipelined engine dispatches the
+        device part a frame ahead and prefetches it asynchronously, so
+        perform() never blocks on the device (engine pipelined mode)."""
         cfg = self.cfg
         H, W = self.res.height, self.res.width
         total = H * W
@@ -84,7 +89,10 @@ class MfSegmentation:
         depth = frame.depth
 
         # ---- device part: edge map -> non-edge binary ----
-        edge, nonedge = self._edge_binary(vmap, nmap)
+        if edge_nonedge is None:
+            edge, nonedge = self._edge_binary(vmap, nmap)
+        else:
+            edge, nonedge = edge_nonedge
         self.last_edge_map = np.asarray(edge)
         nonedge = np.asarray(nonedge)
 
