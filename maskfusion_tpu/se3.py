@@ -122,11 +122,78 @@ def solve_6x6_ldlt(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     dim = A.shape[0]
     lam = 1e-4 * jnp.trace(A) / dim + 1e-12
     A = A + lam * jnp.eye(dim, dtype=A.dtype)
-    L = jax.scipy.linalg.cholesky(A, lower=True)
-    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
-    x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    x = _solve_chol_unrolled(A, b)
     ok = jnp.all(jnp.isfinite(x))
     return jnp.where(ok, x, jnp.zeros_like(x))
+
+
+def _chol_unrolled(A):
+    """Fully unrolled scalar Cholesky of a small (n<=6) SPD matrix.
+
+    jax.scipy.linalg.cholesky / solve_triangular lower to TPU's BLOCKED
+    128-padded serial routines — one 6x6 solve inside the fused tracking
+    step measured ~1 ms, and the GN loop runs 19 of them (plus the 6x6
+    covariance inverse via jnp.linalg.inv at ~25 ms).  ~n^3/6 explicit
+    scalar ops fuse into the surrounding kernel instead.  Returns the
+    lower-triangle entries as a python list-of-lists of scalars."""
+    n = A.shape[0]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        s = A[i, i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        d = jnp.sqrt(jnp.maximum(s, 1e-30))
+        L[i][i] = d
+        inv_d = 1.0 / d
+        for j in range(i + 1, n):
+            s2 = A[j, i]
+            for k in range(i):
+                s2 = s2 - L[j][k] * L[i][k]
+            L[j][i] = s2 * inv_d
+    return L
+
+
+def _solve_chol_unrolled(A, b):
+    L = _chol_unrolled(A)
+    n = len(L)
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
+def spd_inverse_small(A: jnp.ndarray) -> jnp.ndarray:
+    """Dense inverse of a small SPD matrix via the unrolled Cholesky —
+    the covariance of the GN system (RGBDOdometry.cpp:499 does the same
+    LDLT-solve of the identity host-side).  jnp.linalg.inv's pivoted-LU
+    lowering measured ~25 ms for a 6x6 inside the fused step on TPU."""
+    n = A.shape[0]
+    L = _chol_unrolled(A)
+    cols = []
+    for c in range(n):
+        y = [None] * n
+        for i in range(n):
+            s = jnp.asarray(1.0 if i == c else 0.0, A.dtype)
+            for k in range(i):
+                s = s - L[i][k] * y[k]
+            y[i] = s / L[i][i]
+        x = [None] * n
+        for i in reversed(range(n)):
+            s = y[i]
+            for k in range(i + 1, n):
+                s = s - L[k][i] * x[k]
+            x[i] = s / L[i][i]
+        cols.append(jnp.stack(x))
+    return jnp.stack(cols, axis=1)
 
 
 def to_quaternion(R: jnp.ndarray) -> jnp.ndarray:

@@ -482,5 +482,6 @@ def get_incremental_transformation(
 
 def covariance(A: jnp.ndarray) -> jnp.ndarray:
     """inv(lastA) — used by the tracking-failure detector
-    (RGBDOdometry.cpp:499, MaskFusion.cpp:377-414)."""
-    return jnp.linalg.inv(A + 1e-12 * jnp.eye(6, dtype=A.dtype))
+    (RGBDOdometry.cpp:499, MaskFusion.cpp:377-414).  Unrolled SPD inverse:
+    jnp.linalg.inv's LU lowering measured ~25 ms for this 6x6 on TPU."""
+    return se3.spd_inverse_small(A + 1e-12 * jnp.eye(6, dtype=A.dtype))
