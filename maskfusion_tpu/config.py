@@ -173,6 +173,12 @@ class Config:
     export_labels: bool = False                # -el
     export_normals: bool = False               # -en
     export_viewport: bool = False              # -ev
+    # Offline diagnostic surface (-diagdir): per-frame metrics CSV + per-
+    # model alignment-error images — the headless equivalent of the GUI's
+    # live ICP-error plots/textures (MainController.cpp:500-515, 911-921).
+    # Forces per-frame host syncs; leave unset for benchmark runs.
+    diag_export_dir: Optional[str] = None
+    diag_export_interval: int = 8              # error-image cadence (frames)
 
     # --- numerics / execution ---
     compute_dtype: str = "float32"

@@ -163,6 +163,13 @@ class MaskFusion:
         self.inactive_model_listeners = []
         self._pipe = None
         self._pipelined_active = False
+        self._diag_exporter = None
+        if self.cfg.diag_export_dir:
+            from maskfusion_tpu.utils.diag_export import DiagnosticExporter
+
+            self._diag_exporter = DiagnosticExporter(
+                self.cfg.diag_export_dir,
+                interval=self.cfg.diag_export_interval)
         self._matcher = None
         self.segmenter = None
         if not self.cfg.static_mode:
@@ -672,6 +679,8 @@ class MaskFusion:
                 out.update(self.flush_diagnostics())
             self.stopwatch.record("Run",
                                   (_time.perf_counter() - t0) * 1000)
+            if self._diag_exporter:
+                self._diag_exporter.record(self, out)
             return out
 
         # ---------------- tracking (MaskFusion.cpp:240-278) ----------------
@@ -809,6 +818,8 @@ class MaskFusion:
             lost=self.lost,
         )
         self.stopwatch.record("Run", (_time.perf_counter() - t0) * 1000)
+        if self._diag_exporter:
+            self._diag_exporter.record(self, diag, prep.levels[0]["vmap"])
         return diag
 
     # ------------------------------------------------- shared frame stages
@@ -1166,6 +1177,11 @@ class MaskFusion:
                                 do_fuse)
         for model in self.models:
             model.age += 1
+        if self._diag_exporter:
+            self._diag_exporter.record(
+                self, {"tracking_ok": tracking_ok,
+                       "surfels": self.models[0].count_est},
+                P["prep"].levels[0]["vmap"])
 
     def drain_pipeline(self):
         """Finish the pending pipelined frame (call after the last
@@ -1207,12 +1223,24 @@ class MaskFusion:
 
     def _fern_views(self, glob: "Model"):
         """1/8-scale fill-in views for the fern DB (ferns use GPUResize on
-        the fill-in textures, MaskFusion.cpp:430-432, 609-614)."""
+        the fill-in textures, MaskFusion.cpp:430-432, 609-614).
+
+        Downsampled ON DEVICE before the host fetch: the previous host-side
+        striding downloaded three full VGA maps (~3.5 MB) every fern frame;
+        the 1/8-scale views are ~55 KB (ferns run at 1/8 scale precisely to
+        be cheap, Ferns.cpp:56-109)."""
         f = self.ferns.factor
-        rgb = np.asarray(glob.state.pred_rgb)[::f, ::f].astype(np.uint8)
-        vm = np.nan_to_num(np.asarray(glob.state.pred_vmap)[::f, ::f], nan=0.0)
-        nm = np.nan_to_num(np.asarray(glob.state.pred_nmap)[::f, ::f], nan=0.0)
-        return rgb, vm, nm
+        if not hasattr(self, "_fern_small_jit"):
+            @jax.jit
+            def small(rgb, vm, nm):
+                return (jnp.clip(rgb[::f, ::f], 0, 255).astype(jnp.uint8),
+                        jnp.nan_to_num(vm[::f, ::f], nan=0.0),
+                        jnp.nan_to_num(nm[::f, ::f], nan=0.0))
+
+            self._fern_small_jit = small
+        rgb_s, vm_s, nm_s = self._fern_small_jit(
+            glob.state.pred_rgb, glob.state.pred_vmap, glob.state.pred_nmap)
+        return np.asarray(rgb_s), np.asarray(vm_s), np.asarray(nm_s)
 
     def _apply_loop_closure(self, glob: "Model", res) -> bool:
         """Local loop closure: deformation-graph optimisation over the fern

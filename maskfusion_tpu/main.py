@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-maskdir", dest="maskdir")
     p.add_argument("-basedir", dest="basedir", default="")
     p.add_argument("-exportdir", dest="exportdir")
+    p.add_argument("-diagdir", dest="diagdir", help=(
+        "offline diagnostic surface: per-frame metrics CSV + per-model "
+        "ICP-error images (the GUI's live plots/textures, "
+        "MainController.cpp:500-515)"))
     p.add_argument("-colorprefix", dest="colorprefix", default="Color")
     p.add_argument("-depthprefix", dest="depthprefix", default="Depth")
     p.add_argument("-maskprefix", dest="maskprefix", default="Mask")
@@ -147,6 +151,7 @@ def make_config(args):
         start_frame=args.start_frame,
         end_frame=args.end_frame if args.end_frame else args.max_frames,
         export_dir=args.exportdir,
+        diag_export_dir=args.diagdir,
         export_poses=args.export_poses,
         export_models=args.export_models,
         export_segmentation=args.export_segmentation,

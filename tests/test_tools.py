@@ -144,3 +144,30 @@ def test_tuning_registry():
 
     t = get_tuning()
     assert t.min_bucket > 0 and t.diag_interval >= 1
+
+
+def test_diag_export_artifacts(tmp_path):
+    """-diagdir writes the metrics CSV + per-model alignment-error images
+    (offline equivalent of MainController.cpp:500-515's live diagnostics)."""
+    import numpy as np
+
+    from maskfusion_tpu.camera import Resolution
+    from maskfusion_tpu.config import Config
+    from maskfusion_tpu.engine import MaskFusion
+    from maskfusion_tpu.frame import FrameData
+    from tests import synthetic as syn
+
+    out = tmp_path / "diag"
+    cfg = Config(global_surfel_capacity=1 << 16, static_mode=True,
+                 use_so3=False, diag_export_dir=str(out),
+                 diag_export_interval=1)
+    eng = MaskFusion(Resolution(syn.W, syn.H), syn.DEFAULT_INTR, cfg)
+    pts, cols = syn.make_scene()
+    rgb, depth = syn.render(pts, cols, np.eye(4), syn.DEFAULT_INTR)
+    for i in range(3):
+        eng.process_frame(FrameData(rgb=rgb, depth=depth, timestamp=float(i)))
+    csv_path = out / "metrics.csv"
+    assert csv_path.exists()
+    rows = csv_path.read_text().strip().splitlines()
+    assert len(rows) >= 3           # header + >=2 frame rows
+    assert "ms_Run" in rows[0] and "tracking_ok" in rows[0]
