@@ -47,48 +47,93 @@ extern "C" {
 // bboxes_out: max_comp * 4 int32 (top, left, bottom, right; inclusive).
 // Returns the number of components + 1 (index 0 = background), or -1 if
 // more than max_comp components exist.
+//
+// Run-based two-pass union-find: rows are scanned into maximal runs of
+// foreground pixels; each run unites with the 4-connected overlapping runs
+// of the previous row.  Union-find over RUNS (typically ~100s per VGA
+// frame) instead of pixels (307200) — the per-pixel formulation was the
+// naive version (ConnectedLabels.hpp:23-32 region-grows per pixel; OpenCV
+// uses a similar run/block strategy in connectedComponentsWithStats).
 int32_t mf_connected_components(const uint8_t* binary, int32_t h, int32_t w,
                                 int32_t* labels_out, int32_t* sizes_out,
                                 int32_t* bboxes_out, int32_t max_comp) {
-  const size_t n = static_cast<size_t>(h) * w;
-  UnionFind uf(n);
+  struct Run { int32_t row, start, end, parent; };
+  std::vector<Run> runs;
+  runs.reserve(1024);
+  std::vector<int32_t> prev_first(1, 0);  // index of first run per row
+  std::vector<int32_t> row_first(h + 1, 0);
+
+  // pass 1: extract runs + unite with overlapping runs of the row above
   for (int32_t y = 0; y < h; ++y) {
+    row_first[y] = static_cast<int32_t>(runs.size());
     const uint8_t* row = binary + static_cast<size_t>(y) * w;
-    for (int32_t x = 0; x < w; ++x) {
-      if (!row[x]) continue;
-      const size_t i = static_cast<size_t>(y) * w + x;
-      if (x > 0 && row[x - 1]) uf.unite(static_cast<int32_t>(i), static_cast<int32_t>(i - 1));
-      if (y > 0 && binary[i - w]) uf.unite(static_cast<int32_t>(i), static_cast<int32_t>(i - w));
+    int32_t x = 0;
+    int32_t above = (y > 0) ? row_first[y - 1] : 0;
+    const int32_t above_end = (y > 0) ? row_first[y] : 0;
+    while (x < w) {
+      while (x < w && !row[x]) ++x;
+      if (x >= w) break;
+      const int32_t start = x;
+      while (x < w && row[x]) ++x;
+      const int32_t id = static_cast<int32_t>(runs.size());
+      runs.push_back({y, start, x, id});
+      // unite with all runs in the previous row overlapping [start, x)
+      while (above < above_end && runs[above].end <= start) ++above;
+      int32_t a = above;
+      while (a < above_end && runs[a].start < x) {
+        // find roots + union (smaller root wins)
+        int32_t r1 = id, r2 = a;
+        while (runs[r1].parent != r1) r1 = runs[r1].parent;
+        while (runs[r2].parent != r2) r2 = runs[r2].parent;
+        if (r1 != r2) {
+          if (r1 < r2) runs[r2].parent = r1; else runs[r1].parent = r2;
+        }
+        ++a;
+      }
     }
   }
-  // assign compact labels in scan order (matches scipy.ndimage.label)
-  std::vector<int32_t> root_label(n, 0);
+  row_first[h] = static_cast<int32_t>(runs.size());
+
+  // pass 2: assign dense labels to roots in first-appearance order
+  const int32_t n_runs = static_cast<int32_t>(runs.size());
+  std::vector<int32_t> run_label(n_runs, 0);
   int32_t next = 1;
-  for (size_t i = 0; i < n; ++i) {
-    if (!binary[i]) { labels_out[i] = 0; continue; }
-    int32_t r = uf.find(static_cast<int32_t>(i));
-    if (root_label[r] == 0) {
+  for (int32_t i = 0; i < n_runs; ++i) {
+    int32_t r = i;
+    while (runs[r].parent != r) r = runs[r].parent;
+    // path compress
+    int32_t c = i;
+    while (runs[c].parent != r) { int32_t nx = runs[c].parent; runs[c].parent = r; c = nx; }
+    if (run_label[r] == 0) {
       if (next >= max_comp) return -1;
-      root_label[r] = next++;
+      run_label[r] = next++;
     }
-    labels_out[i] = root_label[r];
+    run_label[i] = run_label[r];
   }
+
   std::memset(sizes_out, 0, sizeof(int32_t) * max_comp);
   for (int32_t c = 0; c < max_comp; ++c) {
     bboxes_out[c * 4 + 0] = h; bboxes_out[c * 4 + 1] = w;
     bboxes_out[c * 4 + 2] = -1; bboxes_out[c * 4 + 3] = -1;
   }
-  for (int32_t y = 0; y < h; ++y) {
-    for (int32_t x = 0; x < w; ++x) {
-      const int32_t l = labels_out[static_cast<size_t>(y) * w + x];
-      sizes_out[l] += 1;
-      int32_t* bb = bboxes_out + l * 4;
-      if (y < bb[0]) bb[0] = y;
-      if (x < bb[1]) bb[1] = x;
-      if (y > bb[2]) bb[2] = y;
-      if (x > bb[3]) bb[3] = x;
-    }
+  std::memset(labels_out, 0, sizeof(int32_t) * static_cast<size_t>(h) * w);
+  for (int32_t i = 0; i < n_runs; ++i) {
+    const Run& run = runs[i];
+    const int32_t l = run_label[i];
+    int32_t* dst = labels_out + static_cast<size_t>(run.row) * w;
+    for (int32_t x2 = run.start; x2 < run.end; ++x2) dst[x2] = l;
+    sizes_out[l] += run.end - run.start;
+    int32_t* bb = bboxes_out + l * 4;
+    if (run.row < bb[0]) bb[0] = run.row;
+    if (run.start < bb[1]) bb[1] = run.start;
+    if (run.row > bb[2]) bb[2] = run.row;
+    if (run.end - 1 > bb[3]) bb[3] = run.end - 1;
   }
+  // background stats (label 0)
+  int64_t fg = 0;
+  for (int32_t l = 1; l < next; ++l) fg += sizes_out[l];
+  sizes_out[0] = static_cast<int32_t>(static_cast<int64_t>(h) * w - fg);
+  bboxes_out[0] = 0; bboxes_out[1] = 0; bboxes_out[2] = h - 1; bboxes_out[3] = w - 1;
   return next;
 }
 

@@ -73,3 +73,56 @@ def test_inflate_roundtrip(lib):
     n = lib.mf_inflate(src, len(comp), dst, len(raw))
     assert n == len(raw)
     assert bytes(dst) == raw
+
+
+def test_native_cc_beats_scipy_on_vga():
+    """The run-based union-find (cpp/mfcore) must actually earn its keep
+    against the scipy fallback on a realistic VGA non-edge mask
+    (ConnectedLabels.hpp:23-32 is the reference's CPU hot path)."""
+    import time
+
+    import numpy as np
+    from scipy import ndimage
+
+    from maskfusion_tpu import cpp as native
+
+    lib = native.load()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    x, y = np.meshgrid(np.arange(640), np.arange(480))
+    binary = ~(((np.sin(x * 0.05) + np.cos(y * 0.07)) > 1.2)
+               | (rng.random((480, 640)) < 0.02))
+    b = np.ascontiguousarray(binary.astype(np.uint8))
+    labels = np.empty((480, 640), np.int32)
+    sizes = np.empty(65536, np.int32)
+    bb = np.empty((65536, 4), np.int32)
+
+    def run_native():
+        return lib.mf_connected_components(
+            b, 480, 640, labels.reshape(-1), sizes, bb.reshape(-1), 65536)
+
+    F = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], bool)
+
+    def run_scipy():
+        lab2, n2 = ndimage.label(binary, structure=F)
+        np.bincount(lab2.ravel())
+        ndimage.find_objects(lab2)
+        return lab2, n2
+
+    run_native(); run_scipy()                    # warm
+    t0 = time.perf_counter()
+    for _ in range(10):
+        n = run_native()
+    t_nat = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(10):
+        lab2, n2 = run_scipy()
+    t_sci = time.perf_counter() - t0
+    assert n == n2 + 1
+    # same partition (bijective label mapping)
+    pair = labels.astype(np.int64) * (n2 + 2) + lab2
+    assert len(np.unique(pair)) == n
+    assert t_nat < t_sci, (t_nat, t_sci)
