@@ -14,6 +14,21 @@ import time
 
 import numpy as np
 
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: axon TPU compiles are remote and slow
+    (~20-40 s cold), but cache hits load in ~0.3 s even cross-process.
+    sitecustomize imports jax before env vars could apply, so configure
+    through jax.config (env-var route is silently ignored)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+_enable_compile_cache()
+
 BASELINE_FPS = 30.0
 
 

@@ -23,3 +23,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# sitecustomize imports jax at interpreter start, BEFORE the env vars above
+# are set — jax's config defaults snapshot the environment at import time,
+# so the cache env vars are silently ignored (verified: config reads None).
+# Re-apply them through jax.config, which is authoritative post-import.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

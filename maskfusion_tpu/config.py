@@ -182,6 +182,13 @@ class Config:
 
     # --- numerics / execution ---
     compute_dtype: str = "float32"
+    # Incremental post-fuse index map (ops/splat.patch_index_map): refresh
+    # im1's winners from the fused map + insert the appended unstables at
+    # their own pixels, instead of the reference's second full re-render
+    # (MaskFusion.cpp:541-561).  Exact except that a surfel whose blended
+    # position crosses a pixel boundary keeps its pre-fuse pixel for one
+    # frame.  Saves a bucket-row sort render per model per frame.
+    incremental_im2: bool = True
     # Pallas stencil kernels (ops/pallas_kernels) are bit-exact vs the XLA
     # paths but currently win <1 ms while costing minutes of Mosaic compile
     # per process on this remote-compile transport — off by default until

@@ -145,6 +145,11 @@ class MaskFusion:
         # count near the bucket ceiling.
         self._frames_since_flush = 0
         self._append_rate = 8192.0
+        # tracking-failure covariance threshold: the GN covariance scales
+        # ~1/pixel-count, so the VGA-calibrated bound is widened for
+        # smaller resolutions (the reference only ever runs VGA/512x424)
+        self._cov_thresh = 1e-4 * max(
+            1.0, (640.0 * 480.0) / (resolution.width * resolution.height))
         self._last_tracking_ok = True
         self._pending_diag = None
         self.last_frame_recovery = False
@@ -330,13 +335,26 @@ class MaskFusion:
                 parity=parity,
                 merge_z_thresh=cfg.surfel_merge_z_thresh,
             )
-            # second index render after fuse (the reference's schedule:
+            # second index map after fuse (the reference's schedule:
             # predictIndices -> fuse -> predictIndices -> clean,
-            # MaskFusion.cpp:541-561); clean and the prediction reuse it
-            im2 = splat_ops.render_index_map(
-                fres.map, pose_inv, intr, H, W, time, time_delta,
-                cfg.depth_cutoff,
-            )
+            # MaskFusion.cpp:541-561); clean and the prediction reuse it.
+            # incremental_im2 patches im1 instead of re-rendering (one
+            # row-gather + dense merges vs a bucket-row sort render).
+            if cfg.incremental_im2:
+                conf_px = sm.pixel_confidence(H, W, intr, 1.0) * weighting
+                rad_px = sm.radius_from_depth(
+                    prep.levels[0]["vmap"][..., 2],
+                    prep.levels[0]["nmap"][..., 2], intr)
+                im2 = splat_ops.patch_index_map(
+                    im1, fres.map, fres.new_pixels, prep.vmap_raw,
+                    prep.levels[0]["nmap"], conf_px, rgb, rad_px,
+                    pose_inv, time, work.count,
+                )
+            else:
+                im2 = splat_ops.render_index_map(
+                    fres.map, pose_inv, intr, H, W, time, time_delta,
+                    cfg.depth_cutoff,
+                )
             cres = clean_ops.clean(
                 fres.map, im2, prep.filt_depth, seg_mask, mask_id, pose_inv,
                 intr, time, time_delta, conf_threshold, max_depth,
@@ -693,7 +711,7 @@ class MaskFusion:
                 tr = self._track(glob.state, prep, jnp.uint8(0))
                 glob.state = glob.state._replace(pose=tr.pose)
                 cov_max = float(np.asarray(tr.cov_diag).max())
-                tracking_ok = cov_max <= 1e-4
+                tracking_ok = cov_max <= self._cov_thresh
                 diag.update(icp_error=float(tr.icp_error),
                             icp_count=float(tr.icp_count))
             else:
@@ -836,9 +854,14 @@ class MaskFusion:
         else:
             count = model.surfel_count          # blocking fetch (sync path)
             model.count_est = count
+        # pow2 steps for EVERY model on the multi-object path: each bucket
+        # rung recompiles the whole fuse+clean+predict graph (minutes on the
+        # remote transport), so fewer rungs beat tighter buckets here.  The
+        # -static fast path keeps quarter-octave steps (one small graph).
         b = sm.choose_bucket(count, model.state.map.capacity,
                              headroom=headroom, minimum=minimum,
-                             current=model.last_bucket)
+                             current=model.last_bucket,
+                             pow2_steps=True)
         model.last_bucket = b
         return b
 
@@ -1158,7 +1181,7 @@ class MaskFusion:
         if P["count_models"]:
             self._last_count = int(counts[0])
         cov = float(np.asarray(P["cov"]))
-        tracking_ok = cov <= 1e-4
+        tracking_ok = cov <= self._cov_thresh
         self._last_tracking_ok = tracking_ok
         if P["jumps"] is not None:
             jumps = np.asarray(P["jumps"])
@@ -1214,7 +1237,7 @@ class MaskFusion:
             glob.last_bucket = sm.choose_bucket(
                 self._last_count + 131072, glob.state.map.capacity,
                 current=glob.last_bucket)
-        self._last_tracking_ok = bool(cov_max <= 1e-4)
+        self._last_tracking_ok = bool(cov_max <= self._cov_thresh)
         return {
             "surfels": int(count), "icp_error": float(icp_err),
             "icp_count": float(icp_cnt), "rgb_count": float(rgb_cnt),

@@ -247,7 +247,8 @@ def write_back(full: SurfelMap, pref: SurfelMap) -> SurfelMap:
 
 
 def choose_bucket(count: int, capacity: int, headroom: int = 81920,
-                  minimum: int = 1 << 18, current: int = 0) -> int:
+                  minimum: int = 1 << 18, current: int = 0,
+                  pow2_steps: bool = False) -> int:
     """Host-side bucket policy: smallest 1.25x-step bucket covering count
     plus one frame's worth of appends (checkerboard fusion appends at most
     H*W/4 = 76800 new unstables per frame at VGA).  Quarter-octave steps
@@ -261,7 +262,10 @@ def choose_bucket(count: int, capacity: int, headroom: int = 81920,
     need = max(int(count) + headroom, minimum)
     b = minimum
     while b < need:
-        b += b >> 2
+        # pow2 steps halve the number of distinct compiled variants a
+        # growing map walks through — used for object models, whose jitted
+        # stages recompile per (bucket, n_objects) combination
+        b += b if pow2_steps else b >> 2
     b = min(b, capacity)
     if current and b < current <= capacity and need > int(current * 0.7):
         return current

@@ -70,3 +70,113 @@ def box_iou_np(a: np.ndarray, b: np.ndarray) -> float:
     inter = max(y2 - y1, 0.0) * max(x2 - x1, 0.0)
     ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
     return float(inter / max(ua, 1e-10))
+
+
+def micro_config(image_size: int = 64):
+    """The shapes-domain training config (3 classes: BG/square/circle).
+    Shared by the checkpoint-training script and the test suite."""
+    import jax.numpy as jnp
+
+    from maskfusion_tpu.maskrcnn.model import MaskRCNNConfig
+
+    return MaskRCNNConfig(
+        num_classes=3, image_size=image_size,
+        anchor_scales=(8, 16, 32, 64, 128), anchor_ratios=(1.0,),
+        pre_nms_limit=128, post_nms_proposals=32, max_detections=4,
+        roi_pool_size=7, mask_pool_size=7,
+        fpn_channels=32, box_head_dim=64, mask_head_channels=32,
+        backbone_blocks=(1, 1, 1, 1),
+        train_rois=16, roi_positive_ratio=0.5, score_threshold=0.0,
+        rpn_positive_iou=0.5, dtype=jnp.float32,
+    )
+
+
+def train_shapes(steps: int = 700, image_size: int = 64, seed: int = 0,
+                 lr: float = 1e-3, log_every: int = 0):
+    """Train the full loss stack (RPN + box + mask heads) on the shapes
+    domain; returns (params, losses).  The recipe behind the committed
+    shapes checkpoint and the trainability smoke test."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from maskfusion_tpu.maskrcnn.model import MaskRCNN
+
+    cfg = micro_config(image_size)
+    model = MaskRCNN(cfg)
+    rng = np.random.default_rng(seed)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, image_size, image_size, 3)))
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, key, img, boxes, classes, valid, masks):
+        def loss_fn(p):
+            out = model.apply(p, img[None], boxes, classes, valid, masks,
+                              key, method=MaskRCNN.train_losses)
+            return out["total"], out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    losses = []
+    for i in range(steps):
+        img, b, c, v, m = make_shapes_scene(rng, image_size)
+        params, opt, loss = step(
+            params, opt, jax.random.PRNGKey(i), jnp.asarray(img),
+            jnp.asarray(b), jnp.asarray(c), jnp.asarray(v), jnp.asarray(m))
+        losses.append(float(loss))
+        if log_every and (i + 1) % log_every == 0:
+            print(f"step {i+1}/{steps} loss {loss:.4f}", flush=True)
+    return params, losses
+
+
+def eval_shapes_detection(params, image_size: int = 64, n_scenes: int = 12,
+                          seed: int = 1):
+    """Held-out detection quality of a shapes-trained network: returns
+    dict(det_iou, cls_acc, mask_iou, mean_score) — the quantities the
+    quality test asserts (reference operating threshold 0.55,
+    config.toml.in:33)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskfusion_tpu.maskrcnn.model import MaskRCNN
+
+    cfg = micro_config(image_size)
+    model = MaskRCNN(cfg)
+    rng = np.random.default_rng(seed)
+    fwd = jax.jit(lambda p, im: model.apply(p, im))
+    ious, cls_ok, scores_l, mask_ious = [], [], [], []
+    for _ in range(n_scenes):
+        img, b, c, v, m = make_shapes_scene(rng, image_size, max_objects=1)
+        out = fwd(params, jnp.asarray(img)[None])
+        scores = np.asarray(out["detection_scores"])
+        k = int(np.argmax(scores))
+        det = np.asarray(out["detections"])[k]
+        ious.append(box_iou_np(det, b[0]))
+        cls_ok.append(
+            int(np.asarray(out["detection_classes"])[k]) == int(c[0]))
+        scores_l.append(scores[k])
+        ml = np.asarray(out["mask_logits"])[k] > 0
+        S = image_size
+        y1, x1, y2, x2 = np.clip((det * S).astype(int), 0, S)
+        y2, x2 = max(y2, y1 + 1), max(x2, x1 + 1)
+        yy, xx = np.mgrid[y1:y2, x1:x2]
+        my = np.clip(((yy - y1) / (y2 - y1) * ml.shape[0]).astype(int),
+                     0, ml.shape[0] - 1)
+        mx = np.clip(((xx - x1) / (x2 - x1) * ml.shape[1]).astype(int),
+                     0, ml.shape[1] - 1)
+        pred = np.zeros((S, S), bool)
+        pred[y1:y2, x1:x2] = ml[my, mx]
+        gtm = m[0] > 0.5
+        mask_ious.append((pred & gtm).sum() / max((pred | gtm).sum(), 1))
+    return {
+        "det_iou": float(np.mean(ious)),
+        "cls_acc": float(np.mean(cls_ok)),
+        "mask_iou": float(np.mean(mask_ious)),
+        "mean_score": float(np.mean(scores_l)),
+    }

@@ -289,9 +289,11 @@ def fuse(
     if checkerboard and parity is not None:
         # dense masks for callers (subgrid row-major order == dense
         # row-major order restricted to the subgrid, so append ranks
-        # computed from the dense masks stay consistent)
-        matched = jnp.zeros((H, W), bool).at[parity::2, parity::2].set(
-            matched[parity::2, parity::2])
-        new_pix = jnp.zeros((H, W), bool).at[parity::2, parity::2].set(
-            new_pix[parity::2, parity::2])
+        # computed from the dense masks stay consistent).  Iota parity
+        # masking — the strided .at[...] set pays lane shuffles.
+        u_i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        v_i = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+        pm = (u_i % 2 == parity) & (v_i % 2 == parity)
+        matched = matched & pm
+        new_pix = new_pix & pm
     return FuseResult(map=updated, matched_pixels=matched, new_pixels=new_pix)

@@ -145,6 +145,86 @@ def pack_index_fields(im: IndexMap) -> jnp.ndarray:
     ], axis=1)
 
 
+def patch_index_map(
+    im1: IndexMap,
+    m: SurfelMap,             # POST-fuse map (updated fields + appends)
+    new_pix: jnp.ndarray,     # (H, W) bool — pixels that appended unstables
+    vmap_raw: jnp.ndarray,    # (H, W, 3) camera-frame vertices (new pos)
+    nmap_filt: jnp.ndarray,   # (H, W, 3) camera-frame normals
+    conf_px: jnp.ndarray,     # (H, W) per-pixel confidence * weighting
+    rgb: jnp.ndarray,         # (H, W, 3)
+    rad_px: jnp.ndarray,      # (H, W)
+    pose_inv: jnp.ndarray,
+    time,
+    count_before: jnp.ndarray,
+) -> IndexMap:
+    """Incremental post-fuse index map — replaces the second full render of
+    the reference's schedule (predictIndices -> fuse -> predictIndices,
+    MaskFusion.cpp:541-561) with two dense passes:
+
+      1. REFRESH: every im1 winner's fields are re-fetched from the
+         post-fuse map (one (H*W)-row gather) — merged surfels' updated
+         position/confidence/last_seen appear exactly.
+      2. INSERT: each appended unstable lands at its own pixel (fuse's
+         association already searched that pixel's neighbourhood and found
+         nothing), z-tested against the refreshed winner.  Slot ids follow
+         compact_into's append order (row-major rank over new_pix).
+
+    The only deviation from a true re-render: an existing surfel whose
+    BLENDED position crosses a pixel boundary keeps its im1 pixel for this
+    frame's clean/predict (sub-pixel per frame; next frame's im1 render is
+    exact).  Saves a bucket+HW-row sort render per frame."""
+    H, W = new_pix.shape
+    from maskfusion_tpu.ops import sort_utils
+
+    R = pose_inv[:3, :3]
+    t = pose_inv[:3, 3]
+    idx = im1.index
+    empty = idx < 0
+    safe = jnp.where(empty, 0, idx).reshape(-1)
+
+    p_cam_all = m.pos @ R.T + t
+    n_cam_all = m.normal @ R.T
+    packed, slices = sort_utils.pack_columns(
+        [p_cam_all, m.conf, m.color, m.init_time, m.last_seen, n_cam_all,
+         m.radius])
+    rows = jnp.where(empty.reshape(-1)[:, None], 0.0, packed[safe])
+    pos_w, conf_w, col_w, it_w, ls_w, n_w, rad_w = sort_utils.unpack_columns(
+        rows, slices)
+
+    def im2d(a):
+        return a.reshape(H, W)
+
+    def im3d(a):
+        return a.reshape(H, W, a.shape[1])
+
+    r_pos = im3d(pos_w)
+    r_depth = jnp.where(empty, jnp.inf, r_pos[..., 2])
+
+    # appended unstables: rank in dense row-major order == compact order
+    rank = jnp.cumsum(new_pix.reshape(-1).astype(jnp.int32)).reshape(H, W)
+    slot_new = count_before + rank - 1
+    cap = m.capacity
+    valid_new = new_pix & (slot_new < cap)
+    z_new = vmap_raw[..., 2]
+    take_new = valid_new & (z_new > 0) & (z_new < r_depth)
+
+    tk3 = take_new[..., None]
+    time_f = jnp.asarray(time, jnp.float32)
+    return IndexMap(
+        index=jnp.where(take_new, slot_new,
+                        jnp.where(empty, -1, idx)),
+        pos=jnp.where(tk3, vmap_raw, r_pos),
+        conf=jnp.where(take_new, conf_px, im2d(conf_w)),
+        color=jnp.where(tk3, rgb.astype(jnp.float32), im3d(col_w)),
+        init_time=jnp.where(take_new, time_f, im2d(it_w)),
+        last_seen=jnp.where(take_new, -2.0, im2d(ls_w)),
+        normal=jnp.where(tk3, nmap_filt, im3d(n_w)),
+        radius=jnp.where(take_new, rad_px, im2d(rad_w)),
+        depth=jnp.where(take_new, z_new, r_depth),
+    )
+
+
 class Prediction(NamedTuple):
     vmap: jnp.ndarray    # (H, W, 3) camera-frame corrected vertices, NaN holes
     nmap: jnp.ndarray    # (H, W, 3)

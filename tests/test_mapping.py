@@ -244,3 +244,66 @@ def test_combined_predict_close_range_no_holes():
     pred_flat = splat.combined_predict(im, INTR, 5.0)
     flat_rate = np.asarray(pred_flat.depth[interior] == 0).mean()
     assert flat_rate > 0.3, f"expected large holes without coarse, got {flat_rate:.1%}"
+
+
+def test_patch_index_map_matches_render():
+    """The incremental post-fuse index map (splat.patch_index_map) must
+    agree with a true second render (the reference's schedule,
+    MaskFusion.cpp:541-561) on a no-motion fuse step: same winners where
+    both are defined, refreshed last_seen/conf, and the appended unstables
+    visible at their pixels."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maskfusion_tpu.camera import CameraIntrinsics
+    from maskfusion_tpu.mapping import surfel_map as sm
+    from maskfusion_tpu.ops import fuse as fuse_ops
+    from maskfusion_tpu.ops import preprocess as pp
+    from maskfusion_tpu.ops import splat as splat_ops
+    from tests import synthetic as syn
+
+    H, W = syn.H, syn.W
+    intr = syn.DEFAULT_INTR
+    pts, cols = syn.make_scene()
+    rgb, depth = syn.render(pts, cols, np.eye(4), intr)
+    dj = jnp.asarray(depth)
+    vmap = pp.create_vmap(dj, intr, 5.0)
+    nmap = pp.create_nmap(vmap)
+    mask = jnp.zeros((H, W), jnp.uint8)
+    pose = jnp.eye(4)
+    m = sm.init_from_frame(1 << 16, vmap, vmap, nmap, jnp.asarray(rgb),
+                           mask, jnp.uint8(0), pose, intr, time=1.0)
+    im1 = splat_ops.render_index_map(m, pose, intr, H, W, 2.0, 1 << 30, 5.0)
+    # second observation with a small depth perturbation so appends happen
+    d2 = depth.copy()
+    d2[10:14, 10:14] = 0.0
+    vmap2 = pp.create_vmap(jnp.asarray(d2), intr, 5.0)
+    nmap2 = pp.create_nmap(vmap2)
+    fres = fuse_ops.fuse(m, im1, vmap2, vmap2, nmap2, jnp.asarray(rgb),
+                         mask, jnp.uint8(0), pose, intr, 2.0, 1.0, 5.0,
+                         checkerboard=False)
+    conf_px = sm.pixel_confidence(H, W, intr, 1.0)
+    rad_px = sm.radius_from_depth(vmap2[..., 2], nmap2[..., 2], intr)
+    im2_patch = splat_ops.patch_index_map(
+        im1, fres.map, fres.new_pixels, vmap2, nmap2, conf_px,
+        jnp.asarray(rgb).astype(jnp.float32), rad_px, pose, 2.0, m.count)
+    im2_true = splat_ops.render_index_map(fres.map, pose, intr, H, W, 2.0,
+                                          1 << 30, 5.0)
+    ip = np.asarray(im2_patch.index)
+    it = np.asarray(im2_true.index)
+    both = (ip >= 0) & (it >= 0)
+    agree = (ip == it) | ~both
+    assert agree.mean() > 0.95, f"winner agreement {agree.mean():.3f}"
+    dp = np.asarray(im2_patch.depth)
+    dt = np.asarray(im2_true.depth)
+    sel = both & (ip == it) & np.isfinite(dp) & np.isfinite(dt)
+    assert np.abs(dp[sel] - dt[sel]).max() < 1e-4
+    # merged winners carry the refreshed last_seen
+    ls = np.asarray(im2_patch.last_seen)
+    matched = np.asarray(fres.matched_pixels)
+    seen_now = ls[matched & (ip >= 0)]
+    assert (seen_now == 2.0).mean() > 0.6
+    # appended unstables visible at their own pixels with the -2 flag
+    newp = np.asarray(fres.new_pixels)
+    if newp.any():
+        assert (ls[newp] == -2.0).mean() > 0.5

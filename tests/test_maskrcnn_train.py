@@ -78,72 +78,49 @@ def test_crop_masks_to_boxes():
 
 
 @pytest.mark.slow
-def test_train_shapes_detection_quality():
-    """Train the full loss stack (RPN + box head + mask head) on synthetic
-    shapes and require real detection quality — localisation, class and
-    mask IoU — on held-out scenes.  ~2.5 min on this box's CPU."""
-    model = MaskRCNN(MICRO)
-    rng = np.random.default_rng(0)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-    tx = optax.adam(1e-3)
-    opt = tx.init(params)
+def test_train_shapes_losses_decrease():
+    """Trainability smoke: 120 steps of the full loss stack (RPN + box +
+    mask heads) must reduce the total loss.  The QUALITY thresholds moved
+    to test_shapes_checkpoint_quality, which loads the committed artifact
+    produced by scripts/train_shapes_checkpoint.py with the same recipe
+    (700 steps) — re-training per CI run cost ~8 min of the suite's wall
+    time (VERDICT r2 item 9)."""
+    from maskfusion_tpu.maskrcnn.synthetic_shapes import train_shapes
 
-    @jax.jit
-    def step(params, opt, key, img, boxes, classes, valid, masks):
-        def loss_fn(p):
-            out = model.apply(p, img[None], boxes, classes, valid, masks,
-                              key, method=MaskRCNN.train_losses)
-            return out["total"], out
-
-        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        upd, opt = tx.update(grads, opt, params)
-        return optax.apply_updates(params, upd), opt, loss, out
-
-    losses = []
-    for i in range(700):
-        img, b, c, v, m = make_shapes_scene(rng, 64)
-        params, opt, loss, parts = step(
-            params, opt, jax.random.PRNGKey(i), jnp.asarray(img),
-            jnp.asarray(b), jnp.asarray(c), jnp.asarray(v), jnp.asarray(m))
-        losses.append(float(loss))
+    params, losses = train_shapes(steps=120)
     assert np.isfinite(losses).all()
-    # every component trains: total drops well below the start
-    assert np.mean(losses[-20:]) < 0.6 * np.mean(losses[:10])
+    assert np.mean(losses[-15:]) < 0.8 * np.mean(losses[:10])
 
-    fwd = jax.jit(lambda p, im: model.apply(p, im))
-    ious, cls_ok, scores_l, mask_ious = [], [], [], []
-    for i in range(12):
-        img, b, c, v, m = make_shapes_scene(rng, 64, max_objects=1)
-        out = fwd(params, jnp.asarray(img)[None])
-        scores = np.asarray(out["detection_scores"])
-        k = int(np.argmax(scores))
-        det = np.asarray(out["detections"])[k]
-        ious.append(box_iou_np(det, b[0]))
-        cls_ok.append(
-            int(np.asarray(out["detection_classes"])[k]) == int(c[0]))
-        scores_l.append(scores[k])
-        # paste the 14x14 mask into the detected box, IoU vs the gt mask
-        ml = np.asarray(out["mask_logits"])[k] > 0
-        S = MICRO.image_size
-        y1, x1, y2, x2 = np.clip((det * S).astype(int), 0, S)
-        y2, x2 = max(y2, y1 + 1), max(x2, x1 + 1)
-        yy, xx = np.mgrid[y1:y2, x1:x2]
-        my = np.clip(((yy - y1) / (y2 - y1) * ml.shape[0]).astype(int),
-                     0, ml.shape[0] - 1)
-        mx = np.clip(((xx - x1) / (x2 - x1) * ml.shape[1]).astype(int),
-                     0, ml.shape[1] - 1)
-        pred = np.zeros((S, S), bool)
-        pred[y1:y2, x1:x2] = ml[my, mx]
-        gtm = m[0] > 0.5
-        mask_ious.append((pred & gtm).sum() / max((pred | gtm).sum(), 1))
 
-    # measured on this recipe: det IoU ~0.82, cls acc 1.0, mask IoU ~0.84,
-    # mean score ~0.8 — thresholds leave generous margin for seed noise
-    assert np.mean(ious) >= 0.5, f"det IoU {np.mean(ious):.3f}"
-    assert np.mean(cls_ok) >= 0.75, f"cls acc {np.mean(cls_ok):.2f}"
-    assert np.mean(mask_ious) >= 0.5, f"mask IoU {np.mean(mask_ious):.3f}"
-    # detections clear the reference's 0.55 operating threshold
-    assert np.mean(scores_l) >= 0.55, f"score {np.mean(scores_l):.3f}"
+def _checkpoint_path():
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "maskfusion_tpu", "maskrcnn", "checkpoints", "shapes_micro_64.npz")
+
+
+def test_shapes_checkpoint_quality():
+    """Detection quality of the TRAINED committed checkpoint on held-out
+    scenes: localisation, class, mask IoU and the reference's 0.55
+    operating score threshold (config.toml.in:33).  Measured on the recipe:
+    det IoU ~0.82, cls acc 1.0, mask IoU ~0.84, mean score ~0.8."""
+    import os
+
+    from maskfusion_tpu.maskrcnn import checkpoint_io
+    from maskfusion_tpu.maskrcnn.synthetic_shapes import (
+        eval_shapes_detection)
+
+    path = _checkpoint_path()
+    if not os.path.exists(path):
+        pytest.skip("shapes checkpoint not built "
+                    "(scripts/train_shapes_checkpoint.py)")
+    params, meta = checkpoint_io.load_params(path)
+    q = eval_shapes_detection(params)
+    assert q["det_iou"] >= 0.5, q
+    assert q["cls_acc"] >= 0.75, q
+    assert q["mask_iou"] >= 0.5, q
+    assert q["mean_score"] >= 0.55, q
 
 
 def test_matterport_weight_conversion_roundtrip(tmp_path):
