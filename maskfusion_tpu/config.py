@@ -182,6 +182,14 @@ class Config:
 
     # --- numerics / execution ---
     compute_dtype: str = "float32"
+    # Object processing window: image-side fuse/clean/predict/projection
+    # passes for OBJECT models run on a static (object_window)^2 crop
+    # around the object's mask (dynamic offsets — no recompiles) instead of
+    # the full frame.  0 disables; auto-disabled when the window doesn't
+    # fit the frame.  The reference runs every model's passes at full
+    # resolution (MaskFusion.cpp:539-569).
+    object_window: int = 320
+    object_window_margin: int = 32
     # Incremental post-fuse index map (ops/splat.patch_index_map): refresh
     # im1's winners from the fused map + insert the appended unstables at
     # their own pixels, instead of the reference's second full re-render

@@ -97,6 +97,8 @@ class Model:
     last_bucket: int = 0      # shrink-hysteresis input for choose_bucket
     count_est: int = -1       # async-refreshed count (pipelined mode);
                               # -1 = unknown, fall back to a blocking fetch
+    window: Optional[tuple] = None  # (oy, ox) object-window origin, or None
+                                    # when the mask doesn't fit the window
 
     @property
     def surfel_count(self) -> int:
@@ -463,6 +465,125 @@ class MaskFusion:
             static_argnames=("bucket", "parity"),
         )
 
+        # Static object-window size (0 = windowing off for this engine)
+        OW = int(cfg.object_window)
+        if OW <= 0 or OW > min(H, W) or OW % 8:
+            OW = 0
+        self._obj_window = OW
+
+        def _intr_shift(oy, ox):
+            """Intrinsics with the principal point moved into crop coords —
+            surfel<->pixel projections then operate directly in the (OW,OW)
+            window (traced offsets; one compiled graph for all positions)."""
+            return CameraIntrinsics(
+                intr.fx, intr.fy,
+                intr.cx - ox.astype(jnp.float32),
+                intr.cy - oy.astype(jnp.float32))
+
+        def fuse_clean_predict_obj_win(state: MapState, prep: Preprocessed,
+                                       rgb, seg_mask, prev_pose, time,
+                                       mask_id, conf_t, max_d, wm, oy, ox,
+                                       bucket: int, parity: "int | None"):
+            """Windowed OBJECT fuse+clean+predict: every image-side pass
+            (index render, association, clean, coarse render, prediction)
+            runs on a static (OW, OW) crop around the object's mask instead
+            of the full frame — ~(H*W)/OW^2 less image-side work for small
+            objects.  The window (chosen host-side from the previous
+            segmentation + margin, engine._object_window) always contains
+            the object's mask, so semantics match the full-frame pass for
+            everything inside it; surfels projecting outside keep their
+            state for the frame (same as off-screen surfels in the
+            reference, MaskFusion.cpp:539-569).  Objects never fill in
+            (MaskFusion.cpp:619-624)."""
+            z0 = jnp.int32(0)
+
+            def c2(a):
+                return jax.lax.dynamic_slice(a, (oy, ox), (OW, OW))
+
+            def c3(a):
+                return jax.lax.dynamic_slice(
+                    a, (oy, ox, z0), (OW, OW, a.shape[2]))
+
+            intr_c = _intr_shift(oy, ox)
+            vmap_raw = c3(prep.vmap_raw)
+            vmap0 = c3(prep.levels[0]["vmap"])
+            nmap0 = c3(prep.levels[0]["nmap"])
+            filt = c2(prep.filt_depth)
+            rgb_c = c3(rgb)
+            seg_c = c2(seg_mask)
+            pose = state.pose
+            pose_inv = se3.pose_inverse(pose)
+            if cfg.velocity_fusion_weight:
+                weighting = fuse_ops.compute_fusion_weight(
+                    state.last_delta, wm)
+            else:
+                weighting = wm
+            full_map = state.map
+            work = sm.prefix_view(full_map, bucket)
+            im1 = splat_ops.render_index_map(
+                work, pose_inv, intr_c, OW, OW, time, time_delta,
+                cfg.depth_cutoff)
+            fres = fuse_ops.fuse(
+                work, im1, vmap_raw, vmap0, nmap0, rgb_c, seg_c, mask_id,
+                pose, intr_c, time, weighting, max_d,
+                checkerboard=cfg.fuse_subsample_checkerboard, parity=parity,
+                merge_z_thresh=cfg.surfel_merge_z_thresh)
+            if cfg.incremental_im2:
+                conf_px = sm.pixel_confidence(OW, OW, intr_c, 1.0) * weighting
+                rad_px = sm.radius_from_depth(
+                    vmap0[..., 2], nmap0[..., 2], intr_c)
+                im2 = splat_ops.patch_index_map(
+                    im1, fres.map, fres.new_pixels, vmap_raw, nmap0,
+                    conf_px, rgb_c, rad_px, pose_inv, time, work.count)
+            else:
+                im2 = splat_ops.render_index_map(
+                    fres.map, pose_inv, intr_c, OW, OW, time, time_delta,
+                    cfg.depth_cutoff)
+            cres = clean_ops.clean(
+                fres.map, im2, filt, seg_c, mask_id, pose_inv, intr_c,
+                time, time_delta, conf_t, max_d, cfg.outlier_coefficient,
+                unstable_time_limit=cfg.unstable_time_limit, compact=True)
+            final_map = sm.write_back(full_map, cres.map)
+            idx = im2.index
+            keep_img = jnp.where(
+                idx >= 0, cres.keep[jnp.clip(idx, 0)], False)
+            im2_gated = im2._replace(index=jnp.where(keep_img, idx, -1))
+            im_coarse = splat_ops.render_index_map(
+                cres.map, pose_inv, intr_c.level(2), OW >> 2, OW >> 2,
+                time, time_delta, cfg.depth_cutoff)
+            pred = splat_ops.combined_predict(
+                im2_gated, intr_c, cfg.depth_cutoff, coarse=(im_coarse, 2))
+            nanc = jnp.full((H, W, 3), jnp.nan, jnp.float32)
+            pv = jax.lax.dynamic_update_slice(nanc, pred.vmap, (oy, ox, z0))
+            pn = jax.lax.dynamic_update_slice(nanc, pred.nmap, (oy, ox, z0))
+            pc = jax.lax.dynamic_update_slice(
+                jnp.zeros((H, W, 3), jnp.float32), pred.rgb, (oy, ox, z0))
+            new_state = MapState(
+                map=final_map, pose=pose, last_delta=pose_inv @ prev_pose,
+                pred_vmap=pv, pred_nmap=pn, pred_rgb=pc,
+                so3_intensity=prep.frame_pyr.intensities[
+                    cfg.num_pyr_levels - 1],
+            )
+            return new_state
+
+        self._fuse_clean_predict_obj_win = jax.jit(
+            fuse_clean_predict_obj_win, donate_argnums=(0,),
+            static_argnames=("bucket", "parity"))
+
+        def project_ids_obj_win(m: sm.SurfelMap, pose, time, max_depth,
+                                bucket: int, oy, ox):
+            """Windowed object contribution to GlobalProjection: render +
+            predict on the object's (OW, OW) crop, pasted into an inf depth
+            canvas (GlobalProjection.cpp:48-75 renders full frames)."""
+            intr_c = _intr_shift(oy, ox)
+            im = splat_ops.render_index_map(
+                sm.prefix_view(m, bucket), se3.pose_inverse(pose), intr_c,
+                OW, OW, time, time_delta, max_depth, conf_threshold=12.0)
+            pred = splat_ops.combined_predict(im, intr_c, max_depth)
+            depth = jnp.where(pred.depth > 0, pred.depth, jnp.inf)
+            return jax.lax.dynamic_update_slice(
+                jnp.full((H, W), jnp.inf, jnp.float32), depth, (oy, ox))
+
         def project_ids(m: sm.SurfelMap, pose, time, max_depth,
                         bucket: int):
             """One model's contribution to the global (depth, id) projection
@@ -551,6 +672,113 @@ class MaskFusion:
 
         self._empty_state = jax.jit(empty_state, static_argnames=("capacity",))
 
+        # ---- fused pipelined dispatches ----
+        # The multi-object frame otherwise issues ~10 separate jitted calls
+        # plus per-frame jnp.stack storms (each call ~5 ms dispatch overhead
+        # on the remote transport; measured 252 ms/frame of device-queue
+        # wait at 2 objects).  Mirror the -static fast path: ONE dispatch
+        # for the pre-segmentation device stage and ONE for all models'
+        # fuse+clean+predict.  The reference pays the same costs as ~40
+        # kernel launches + GL passes per frame (MaskFusion.cpp:200-607).
+        def pipelined_device_stage(glob_state, obj_states, obj_mids,
+                                   ids_vec, rgb, depth, prev_seg, time,
+                                   obj_oys, obj_oxs,
+                                   glob_bucket: int, obj_bucket: int,
+                                   windowed: bool = False):
+            """preprocess + track(all models) + GlobalProjection + edge map
+            in one graph.  Poses in the projection are the NEW tracked poses
+            (the reference's order, MaskFusion.cpp:240-296)."""
+            prep = preprocess(rgb, depth, prev_seg)
+            tr = track(glob_state, prep, jnp.uint8(0))
+            cov = jnp.max(tr.cov_diag)
+            n_obj = len(obj_states)
+            if n_obj:
+                new_poses, jumps = track_objects(
+                    jnp.stack([s.pose for s in obj_states]),
+                    jnp.stack([s.pred_vmap for s in obj_states]),
+                    jnp.stack([s.pred_nmap for s in obj_states]),
+                    jnp.stack([s.pred_rgb for s in obj_states]),
+                    jnp.stack([s.so3_intensity for s in obj_states]),
+                    obj_mids, prep)
+            else:
+                new_poses = jnp.zeros((0, 4, 4), jnp.float32)
+                jumps = jnp.zeros((0,), jnp.float32)
+            depths = [project_ids(glob_state.map, tr.pose, time,
+                                  cfg.depth_cutoff, glob_bucket)]
+            for i in range(n_obj):
+                if windowed:
+                    depths.append(project_ids_obj_win(
+                        obj_states[i].map, new_poses[i], time,
+                        cfg.depth_cutoff, obj_bucket,
+                        obj_oys[i], obj_oxs[i]))
+                else:
+                    depths.append(project_ids(
+                        obj_states[i].map, new_poses[i], time,
+                        cfg.depth_cutoff, obj_bucket))
+            ids = combine_ids(depths, ids_vec)
+            edge, nonedge = self.segmenter._edge_binary(
+                prep.levels[0]["vmap"], prep.levels[0]["nmap"])
+            counts = jnp.stack(
+                [glob_state.map.count] + [s.map.count for s in obj_states])
+            # per-object poses unstacked INSIDE the graph — host-side
+            # indexing of the stacked array would be one dispatch per model
+            pose_tuple = tuple(new_poses[i] for i in range(n_obj))
+            return (prep, tr.pose, pose_tuple, jumps, cov, ids, edge,
+                    nonedge, counts)
+
+        self._pipelined_device_stage = jax.jit(
+            pipelined_device_stage,
+            static_argnames=("glob_bucket", "obj_bucket", "windowed"))
+
+        def pipelined_fuse_stage(glob_state, obj_states, prep, rgb,
+                                 seg_mask, glob_prev_pose, obj_prev_poses,
+                                 time, obj_mids, conf_ts, max_ds, wms,
+                                 obj_oys, obj_oxs,
+                                 glob_bucket: int, obj_bucket: int,
+                                 parity: "int | None",
+                                 windowed: bool = False):
+            """All models' fuse+clean+predict in one graph (global + vmapped
+            equal-capacity objects; MaskFusion.cpp:539-569 loops models)."""
+            new_glob, _removed, _app = fuse_clean_predict(
+                glob_state, prep, rgb, seg_mask, glob_prev_pose, time,
+                jnp.uint8(0), cfg.conf_threshold_global, cfg.depth_cutoff,
+                cfg.weight_multiplier, True, glob_bucket, parity, True)
+            if obj_states:
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                       *obj_states)
+
+                if windowed:
+                    def one_w(state, prev_pose, mid, ct, md_, wm, oy, ox):
+                        return fuse_clean_predict_obj_win(
+                            state, prep, rgb, seg_mask, prev_pose, time,
+                            mid, ct, md_, wm, oy, ox, obj_bucket, parity)
+
+                    new_stack = jax.vmap(one_w)(
+                        stacked, jnp.stack(obj_prev_poses), obj_mids,
+                        conf_ts, max_ds, wms, obj_oys, obj_oxs)
+                else:
+                    def one(state, prev_pose, mid, ct, md_, wm):
+                        ns, _rem, _ap = fuse_clean_predict(
+                            state, prep, rgb, seg_mask, prev_pose, time,
+                            mid, ct, md_, wm, False, obj_bucket, parity,
+                            True)
+                        return ns
+
+                    new_stack = jax.vmap(one)(
+                        stacked, jnp.stack(obj_prev_poses), obj_mids,
+                        conf_ts, max_ds, wms)
+                new_objs = tuple(
+                    jax.tree.map(lambda x, i=i: x[i], new_stack)
+                    for i in range(len(obj_states)))
+            else:
+                new_objs = ()
+            return new_glob, new_objs
+
+        self._pipelined_fuse_stage = jax.jit(
+            pipelined_fuse_stage, donate_argnums=(0, 1),
+            static_argnames=("glob_bucket", "obj_bucket", "parity",
+                             "windowed"))
+
     # ------------------------------------------------------------ lifecycle
     def _get_next_model_id(self, assign: bool) -> int:
         nxt = self.next_id
@@ -613,6 +841,8 @@ class MaskFusion:
             frame,
             rgb=jax.device_put(frame.rgb),
             depth=jax.device_put(depth),
+            rgb_host=frame.rgb,
+            depth_host=np.asarray(depth),
         )
 
     def process_frame(self, frame: FrameData,
@@ -865,6 +1095,34 @@ class MaskFusion:
         model.last_bucket = b
         return b
 
+    def _object_window(self, model: Model, seg: np.ndarray):
+        """Choose the (oy, ox) origin of the model's static processing
+        window from its current mask + margin (host side, numpy).  Returns
+        None when the mask doesn't fit — callers fall back to full-frame
+        passes.  An empty mask keeps the previous window (the object is
+        briefly unseen; its surfels still project near it)."""
+        OW = self._obj_window
+        if not OW:
+            return None
+        H, W = self.res.height, self.res.width
+        sel = seg == model.model_id
+        ys = sel.any(axis=1)
+        if not ys.any():
+            return model.window
+        xs = sel.any(axis=0)
+        y0, y1 = np.flatnonzero(ys)[[0, -1]]
+        x0, x1 = np.flatnonzero(xs)[[0, -1]]
+        m = self.cfg.object_window_margin
+        if (y1 - y0 + 1) + 2 * m > OW or (x1 - x0 + 1) + 2 * m > OW:
+            return None
+        oy = int(np.clip((y0 + y1 + 1 - OW) // 2, 0, H - OW)) & ~7
+        ox = int(np.clip((x0 + x1 + 1 - OW) // 2, 0, W - OW)) & ~7
+        return (oy, ox)
+
+    def _update_windows(self, seg: np.ndarray):
+        for model in self.models[1:]:
+            model.window = self._object_window(model, seg)
+
     def _project_ids_all(self, time_f: float) -> jnp.ndarray:
         """Device-side GlobalProjection: all models' (depth, id) renders
         combined into one uint8 id image (GlobalProjection.cpp:48-75).  No
@@ -977,6 +1235,7 @@ class MaskFusion:
                 max_depth=md.depth_mean + 1.2 * md.depth_std,
                 is_static=True,
                 initial_c2w_inv=np.eye(4, dtype=np.float32),
+                count_est=0,   # empty map — avoid a blocking count fetch
             )
             # spawn pose starts at the camera pose; static offset is
             # identity at spawn (makeStatic, Model.h:264 with pose=I
@@ -1010,6 +1269,7 @@ class MaskFusion:
             else:
                 model.unseen_count += 1
             model.conf_threshold = min(4.5, model.age / 25.0)
+        self._update_windows(seg_mask_np)
         return seg_mask_np
 
     def _dispatch_fuse(self, prep, rgb, seg_mask_np, tick: int,
@@ -1022,6 +1282,36 @@ class MaskFusion:
         parity = (tick % 2 if cfg.fuse_subsample_checkerboard else None)
         fuse_models = list(self.models) if do_fuse else []
         objs = [m for m in fuse_models if m.model_id != 0]
+        if (fuse_models and cfg.batch_object_tracking
+                and len({m.state.map.capacity for m in objs}) <= 1):
+            # ONE dispatch for global + all objects (fused stage)
+            glob = fuse_models[0]
+            obj_bucket = max((self._bucket_for(m) for m in objs),
+                             default=1 << 16)
+            windowed = bool(objs) and all(
+                m.window is not None for m in objs)
+            new_glob, new_objs = self._pipelined_fuse_stage(
+                glob.state, tuple(m.state for m in objs), prep, rgb,
+                seg_mask, jnp.asarray(glob.prev_pose),
+                tuple(jnp.asarray(m.prev_pose) for m in objs),
+                float(tick),
+                jnp.asarray([m.model_id for m in objs], jnp.uint8),
+                jnp.asarray([m.conf_threshold for m in objs], jnp.float32),
+                jnp.asarray([min(cfg.depth_cutoff, m.max_depth)
+                             for m in objs], jnp.float32),
+                jnp.asarray([100.0 if m.age == 0 else cfg.weight_multiplier
+                             for m in objs], jnp.float32),
+                jnp.asarray([(m.window or (0, 0))[0] for m in objs],
+                            jnp.int32),
+                jnp.asarray([(m.window or (0, 0))[1] for m in objs],
+                            jnp.int32),
+                glob_bucket=self._bucket_for(glob), obj_bucket=obj_bucket,
+                parity=parity, windowed=windowed,
+            )
+            glob.state = new_glob
+            for m, s in zip(objs, new_objs):
+                m.state = s
+            return
         batch_objs = (len(objs) >= 2 and cfg.batch_object_tracking
                       and len({m.state.map.capacity for m in objs}) == 1)
         for model in fuse_models:
@@ -1138,17 +1428,52 @@ class MaskFusion:
             self.last_segmentation
             if self.last_segmentation is not None
             else np.zeros((self.res.height, self.res.width), np.uint8))
-        with self.stopwatch.scope("Preprocess"):
-            prep = self._preprocess(rgb, depth, prev_seg)
         for model in self.models:
             model.prev_pose = model.state.pose.copy()
-        with self.stopwatch.scope("odom"):
-            tracked, jump_stack, cov = self._track_models_device(prep)
-        with self.stopwatch.scope("projection"):
-            ids_dev = self._project_ids_all(float(self.tick))
-            edge_dev, nonedge_dev = self.segmenter._edge_binary(
-                prep.levels[0]["vmap"], prep.levels[0]["nmap"])
-        counts = jnp.stack([m.state.map.count for m in self.models])
+        glob = self.models[0]
+        objs = self.models[1:]
+        trackable = cfg.trackable_classes
+        fused_ok = (
+            not trackable
+            or all(m.class_id in trackable for m in objs)
+        ) and len({m.state.map.capacity for m in objs}) <= 1
+        if fused_ok:
+            # ONE dispatch for the whole pre-segmentation device stage
+            glob_bucket = self._bucket_for(glob)
+            obj_bucket = max((self._bucket_for(m) for m in objs),
+                             default=1 << 16)
+            windowed = bool(objs) and all(
+                m.window is not None for m in objs)
+            oys = jnp.asarray([(m.window or (0, 0))[0] for m in objs],
+                              jnp.int32)
+            oxs = jnp.asarray([(m.window or (0, 0))[1] for m in objs],
+                              jnp.int32)
+            with self.stopwatch.scope("odom"):
+                (prep, gpose, oposes, jump_stack, cov, ids_dev, edge_dev,
+                 nonedge_dev, counts) = self._pipelined_device_stage(
+                    glob.state, tuple(m.state for m in objs),
+                    jnp.asarray([m.model_id for m in objs], jnp.uint8),
+                    jnp.asarray([m.model_id for m in self.models],
+                                jnp.int32),
+                    rgb, depth, prev_seg, float(self.tick), oys, oxs,
+                    glob_bucket=glob_bucket, obj_bucket=obj_bucket,
+                    windowed=windowed)
+            glob.state = glob.state._replace(pose=gpose)
+            for m, p in zip(objs, oposes):
+                m.state = m.state._replace(pose=p)
+            tracked = list(objs)
+            if not objs:
+                jump_stack = None
+        else:
+            with self.stopwatch.scope("Preprocess"):
+                prep = self._preprocess(rgb, depth, prev_seg)
+            with self.stopwatch.scope("odom"):
+                tracked, jump_stack, cov = self._track_models_device(prep)
+            with self.stopwatch.scope("projection"):
+                ids_dev = self._project_ids_all(float(self.tick))
+                edge_dev, nonedge_dev = self.segmenter._edge_binary(
+                    prep.levels[0]["vmap"], prep.levels[0]["nmap"])
+            counts = jnp.stack([m.state.map.count for m in self.models])
         for x in (ids_dev, edge_dev, nonedge_dev, cov, jump_stack, counts):
             if x is not None:
                 self._start_async_copy(x)

@@ -22,6 +22,19 @@ class FrameData:
     mask: Optional[np.ndarray] = None    # (H, W) uint8 instance-id image
     class_ids: Optional[List[int]] = None
     rois: Optional[List[Tuple[int, int, int, int]]] = None  # (y0,x0,y1,x1)
+    # host mirrors kept by engine.upload_frame when rgb/depth are staged to
+    # device HBM: the host-side segmentation stage must never index a
+    # device array (each dynamic-shape op is a remote dispatch + compile)
+    rgb_host: Optional[np.ndarray] = None
+    depth_host: Optional[np.ndarray] = None
+
+    def host_depth(self) -> np.ndarray:
+        d = self.depth_host if self.depth_host is not None else self.depth
+        return np.asarray(d)
+
+    def host_rgb(self) -> np.ndarray:
+        r = self.rgb_host if self.rgb_host is not None else self.rgb
+        return np.asarray(r)
 
     @property
     def height(self) -> int:

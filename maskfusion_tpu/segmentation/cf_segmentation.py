@@ -195,7 +195,7 @@ class CfSegmentation:
             seg[keep] = mid
 
         result.full_segmentation = seg
-        d = frame.depth
+        d = frame.host_depth()
         for md in result.model_data:
             selm = (seg == md.model_id) & (d > 0)
             if selm.any():

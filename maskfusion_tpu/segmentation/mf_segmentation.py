@@ -86,7 +86,7 @@ class MfSegmentation:
         mask = frame.mask if frame.mask is not None else np.zeros((H, W), np.uint8)
         class_ids = list(frame.class_ids or [])
         n_masks = len(class_ids)
-        depth = frame.depth
+        depth = frame.host_depth()
 
         # ---- device part: edge map -> non-edge binary ----
         if edge_nonedge is None:

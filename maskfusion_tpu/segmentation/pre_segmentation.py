@@ -82,7 +82,7 @@ class PreSegmentation:
 
         result.full_segmentation = out
         self._tentative = next_model_id if result.has_new_label else None
-        depth = frame.depth
+        depth = frame.host_depth()
         for md in result.model_data:
             sel = (out == md.model_id) & (depth > 0)
             if sel.any():

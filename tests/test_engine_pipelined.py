@@ -16,7 +16,7 @@ from maskfusion_tpu.frame import FrameData
 from tests import synthetic as syn
 
 
-def run(pipelined: bool, n_frames: int = 6):
+def run(pipelined: bool, n_frames: int = 6, object_window: int = 0):
     cfg = Config(
         global_surfel_capacity=1 << 16,
         object_surfel_capacity=1 << 13,
@@ -24,6 +24,8 @@ def run(pipelined: bool, n_frames: int = 6):
         use_so3=False,
         model_spawn_offset=0,
         pipelined_multiobject=pipelined,
+        object_window=object_window,
+        object_window_margin=8,
     )
     eng = MaskFusion(Resolution(syn.W, syn.H), syn.DEFAULT_INTR, cfg)
     for i in range(n_frames):
@@ -55,3 +57,24 @@ def test_pipelined_spawns_and_tracks_object():
     obj = eng.models[1]
     est = obj.pose_log[-1]["pose"][:3, 3]
     assert np.asarray(est)[0] > 0.005   # object moved along +x
+
+
+def test_windowed_objects_match_full_frame():
+    """Object-window passes (engine.fuse_clean_predict_obj_win: static
+    (OW,OW) crops with principal-point-shifted intrinsics) must reproduce
+    the full-frame object path — the window always contains the object's
+    mask + margin, so fuse/clean/predict see the same pixels.  The
+    reference runs every model full-frame (MaskFusion.cpp:539-569); the
+    window is the TPU redesign that makes small objects cheap."""
+    e_full = run(True, object_window=0)
+    e_win = run(True, object_window=80)
+    assert [m.model_id for m in e_win.models] == \
+           [m.model_id for m in e_full.models]
+    assert len(e_win.models) >= 2
+    assert e_win.models[1].window is not None  # windowing actually engaged
+    for mw, mf in zip(e_win.models, e_full.models):
+        np.testing.assert_allclose(np.asarray(mw.state.pose),
+                                   np.asarray(mf.state.pose), atol=2e-4)
+        assert abs(mw.surfel_count - mf.surfel_count) <= \
+            max(4, int(0.02 * mf.surfel_count)), (
+            mw.model_id, mw.surfel_count, mf.surfel_count)
