@@ -170,6 +170,8 @@ class MaskFusion:
         self.inactive_model_listeners = []
         self._pipe = None
         self._pipelined_active = False
+        self._np_glob_pose = None   # numpy mirror of the tracked global
+        self._seg_dev = None        # (tick, device seg) fuse-stage cache
         self._diag_exporter = None
         if self.cfg.diag_export_dir:
             from maskfusion_tpu.utils.diag_export import DiagnosticExporter
@@ -299,6 +301,80 @@ class MaskFusion:
                 poses, pvs, pns, pcs, so3s, mask_ids)
 
         self._track_objects = jax.jit(track_objects)
+
+        def track_objects_win(poses, pvs, pns, pcs, so3s, mask_ids,
+                              oys, oxs, prep: Preprocessed):
+            """Windowed object tracking: each object's GN runs on its
+            static (OW, OW) crop of both pyramid sides with principal-
+            point-shifted intrinsics — the object's model prediction is
+            NaN outside its window (windowed predict), so the ICP terms
+            (which iterate model pixels, icpStep reduce.cu:200-316) see
+            the same associations as the full-frame solve, and the RGB
+            terms are mask-gated (reduce.cu:836) to pixels inside the
+            window.  Model pixels whose projection leaves the window
+            (object moved further than object_window_margin in one frame)
+            drop out of the solve — a documented deviation from the
+            full-frame reference path (RGBDOdometry.cpp:153-185)."""
+            fp = prep.frame_pyr
+            L = cfg.num_pyr_levels
+
+            def one(pose, pv, pn, pc, so3i, mid, oy, ox):
+                z0 = jnp.int32(0)
+
+                def c2(a, lv):
+                    return jax.lax.dynamic_slice(
+                        a, (oy >> lv, ox >> lv), (OW >> lv, OW >> lv))
+
+                def c3(a, lv):
+                    return jax.lax.dynamic_slice(
+                        a, (oy >> lv, ox >> lv, z0),
+                        (OW >> lv, OW >> lv, a.shape[2]))
+
+                fpc = odo.FramePyramids(
+                    vmaps=tuple(c3(v, lv)
+                                for lv, v in enumerate(fp.vmaps)),
+                    nmaps=tuple(c3(nm, lv)
+                                for lv, nm in enumerate(fp.nmaps)),
+                    depths=tuple(c2(d, lv)
+                                 for lv, d in enumerate(fp.depths)),
+                    intensities=tuple(c2(g, lv)
+                                      for lv, g in enumerate(
+                                          fp.intensities)),
+                    masks=tuple(c2(mk, lv)
+                                for lv, mk in enumerate(fp.masks)),
+                )
+                pvc = jax.lax.dynamic_slice(pv, (oy, ox, z0), (OW, OW, 3))
+                pnc = jax.lax.dynamic_slice(pn, (oy, ox, z0), (OW, OW, 3))
+                pcc = jax.lax.dynamic_slice(pc, (oy, ox, z0), (OW, OW, 3))
+                model_pyr = odo.build_model_pyramids(
+                    pvc, pnc, pcc, pose, L, cfg.max_depth_rgb)
+                lc = L - 1
+                so3c = jax.lax.dynamic_slice(
+                    so3i, (oy >> lc, ox >> lc), (OW >> lc, OW >> lc))
+                so3_pyr = [None] * lc + [so3c]
+                res = odo.get_incremental_transformation(
+                    pose[:3, 3], pose[:3, :3],
+                    fpc, model_pyr, tuple(so3_pyr), _intr_shift(oy, ox),
+                    rgb_only=cfg.rgb_only,
+                    icp_weight=cfg.object_icp_weight,
+                    pyramid=cfg.pyramid, fast_odom=cfg.fast_odom,
+                    use_so3=cfg.use_so3, mask_id=mid,
+                    use_mask_rgb=cfg.mask_rgb_residual,
+                    use_mask_icp=cfg.mask_icp_residual,
+                    dist_thresh=cfg.dist_threshold,
+                    angle_thresh_sine=cfg.angle_threshold_sine,
+                    max_depth_delta_rgb=cfg.max_depth_delta_rgb,
+                    sobel_scale=cfg.sobel_scale,
+                    min_grad_magnitudes=cfg.min_grad_magnitudes,
+                    translation_jump_limit=cfg.translation_jump_limit,
+                    num_levels=cfg.num_pyr_levels,
+                    assoc_period=cfg.assoc_period,
+                )
+                pose_new = se3.make_pose(res.R, res.t)
+                return pose_new, jnp.linalg.norm(res.delta[:3, 3])
+
+            return jax.vmap(one)(poses, pvs, pns, pcs, so3s, mask_ids,
+                                 oys, oxs)
 
         def fuse_clean_predict(state: MapState, prep: Preprocessed, rgb,
                                seg_mask, prev_pose, time, mask_id,
@@ -680,19 +756,36 @@ class MaskFusion:
         # for the pre-segmentation device stage and ONE for all models'
         # fuse+clean+predict.  The reference pays the same costs as ~40
         # kernel launches + GL passes per frame (MaskFusion.cpp:200-607).
-        def pipelined_device_stage(glob_state, obj_states, obj_mids,
+        def pipelined_device_stage(glob_state, obj_states, obj_aux,
                                    ids_vec, rgb, depth, prev_seg, time,
-                                   obj_oys, obj_oxs,
                                    glob_bucket: int, obj_bucket: int,
                                    windowed: bool = False):
             """preprocess + track(all models) + GlobalProjection + edge map
             in one graph.  Poses in the projection are the NEW tracked poses
-            (the reference's order, MaskFusion.cpp:240-296)."""
+            (the reference's order, MaskFusion.cpp:240-296).
+
+            obj_aux is ONE packed (n_obj, 3) f32 array [mask_id, oy, ox] —
+            each separate small host->device upload costs a dispatch round
+            trip on remote transports.  For the same reason every per-frame
+            host-bound scalar (counts, cov, jumps, prev/world poses) is
+            packed into ONE f32 `hostvec` output: the probe measured THREE
+            separate scalar np.asarray fetches at ~57 ms EACH while the
+            1.2 MB ids image (async-copied) fetched in ~0 ms."""
             prep = preprocess(rgb, depth, prev_seg)
             tr = track(glob_state, prep, jnp.uint8(0))
             cov = jnp.max(tr.cov_diag)
             n_obj = len(obj_states)
-            if n_obj:
+            obj_mids = obj_aux[:, 0].astype(jnp.uint8)
+            if n_obj and windowed:
+                new_poses, jumps = track_objects_win(
+                    jnp.stack([s.pose for s in obj_states]),
+                    jnp.stack([s.pred_vmap for s in obj_states]),
+                    jnp.stack([s.pred_nmap for s in obj_states]),
+                    jnp.stack([s.pred_rgb for s in obj_states]),
+                    jnp.stack([s.so3_intensity for s in obj_states]),
+                    obj_mids, obj_aux[:, 1].astype(jnp.int32),
+                    obj_aux[:, 2].astype(jnp.int32), prep)
+            elif n_obj:
                 new_poses, jumps = track_objects(
                     jnp.stack([s.pose for s in obj_states]),
                     jnp.stack([s.pred_vmap for s in obj_states]),
@@ -710,7 +803,8 @@ class MaskFusion:
                     depths.append(project_ids_obj_win(
                         obj_states[i].map, new_poses[i], time,
                         cfg.depth_cutoff, obj_bucket,
-                        obj_oys[i], obj_oxs[i]))
+                        obj_aux[i, 1].astype(jnp.int32),
+                        obj_aux[i, 2].astype(jnp.int32)))
                 else:
                     depths.append(project_ids(
                         obj_states[i].map, new_poses[i], time,
@@ -720,27 +814,40 @@ class MaskFusion:
                 prep.levels[0]["vmap"], prep.levels[0]["nmap"])
             counts = jnp.stack(
                 [glob_state.map.count] + [s.map.count for s in obj_states])
+            # pre-tracking poses (fuse-stage prev_pose inputs) and TUM-log
+            # world poses (object-to-world = glob @ inv(obj), CLAUDE.md
+            # convention / MaskFusion.cpp:578-602) ride the hostvec so the
+            # host never issues per-model pose copies or matmul dispatches
+            prev_poses = jnp.stack(
+                [glob_state.pose] + [s.pose for s in obj_states])
+            world_poses = jnp.stack(
+                [tr.pose] + [tr.pose @ se3.pose_inverse(new_poses[i])
+                             for i in range(n_obj)])
+            hostvec = jnp.concatenate([
+                counts.astype(jnp.float32), cov[None], jumps,
+                prev_poses.reshape(-1), world_poses.reshape(-1)])
             # per-object poses unstacked INSIDE the graph — host-side
             # indexing of the stacked array would be one dispatch per model
             pose_tuple = tuple(new_poses[i] for i in range(n_obj))
-            return (prep, tr.pose, pose_tuple, jumps, cov, ids, edge,
-                    nonedge, counts)
+            return (prep, tr.pose, pose_tuple, hostvec, ids, edge, nonedge)
 
         self._pipelined_device_stage = jax.jit(
             pipelined_device_stage,
             static_argnames=("glob_bucket", "obj_bucket", "windowed"))
 
         def pipelined_fuse_stage(glob_state, obj_states, prep, rgb,
-                                 seg_mask, glob_prev_pose, obj_prev_poses,
-                                 time, obj_mids, conf_ts, max_ds, wms,
-                                 obj_oys, obj_oxs,
+                                 seg_mask, prev_poses, time, obj_params,
                                  glob_bucket: int, obj_bucket: int,
                                  parity: "int | None",
                                  windowed: bool = False):
             """All models' fuse+clean+predict in one graph (global + vmapped
-            equal-capacity objects; MaskFusion.cpp:539-569 loops models)."""
+            equal-capacity objects; MaskFusion.cpp:539-569 loops models).
+            prev_poses is ONE stacked (n_models, 4, 4) array (row 0 global)
+            and obj_params ONE (n_obj, 6) f32 [mask_id, conf_t, max_depth,
+            weight_mult, oy, ox] — single uploads instead of a per-field
+            dispatch storm on remote transports."""
             new_glob, _removed, _app = fuse_clean_predict(
-                glob_state, prep, rgb, seg_mask, glob_prev_pose, time,
+                glob_state, prep, rgb, seg_mask, prev_poses[0], time,
                 jnp.uint8(0), cfg.conf_threshold_global, cfg.depth_cutoff,
                 cfg.weight_multiplier, True, glob_bucket, parity, True)
             if obj_states:
@@ -748,25 +855,28 @@ class MaskFusion:
                                        *obj_states)
 
                 if windowed:
-                    def one_w(state, prev_pose, mid, ct, md_, wm, oy, ox):
+                    def one_w(state, prev_pose, params):
                         return fuse_clean_predict_obj_win(
                             state, prep, rgb, seg_mask, prev_pose, time,
-                            mid, ct, md_, wm, oy, ox, obj_bucket, parity)
+                            params[0].astype(jnp.uint8), params[1],
+                            params[2], params[3],
+                            params[4].astype(jnp.int32),
+                            params[5].astype(jnp.int32),
+                            obj_bucket, parity)
 
                     new_stack = jax.vmap(one_w)(
-                        stacked, jnp.stack(obj_prev_poses), obj_mids,
-                        conf_ts, max_ds, wms, obj_oys, obj_oxs)
+                        stacked, prev_poses[1:], obj_params)
                 else:
-                    def one(state, prev_pose, mid, ct, md_, wm):
+                    def one(state, prev_pose, params):
                         ns, _rem, _ap = fuse_clean_predict(
                             state, prep, rgb, seg_mask, prev_pose, time,
-                            mid, ct, md_, wm, False, obj_bucket, parity,
-                            True)
+                            params[0].astype(jnp.uint8), params[1],
+                            params[2], params[3], False, obj_bucket,
+                            parity, True)
                         return ns
 
                     new_stack = jax.vmap(one)(
-                        stacked, jnp.stack(obj_prev_poses), obj_mids,
-                        conf_ts, max_ds, wms)
+                        stacked, prev_poses[1:], obj_params)
                 new_objs = tuple(
                     jax.tree.map(lambda x, i=i: x[i], new_stack)
                     for i in range(len(obj_states)))
@@ -1201,12 +1311,13 @@ class MaskFusion:
                 det = self._redetect(frame, roi)
                 if det is not None:
                     # reactivate instead of spawning a new model
+                    gp = (self._np_glob_pose if self._np_glob_pose
+                          is not None else glob.state.pose)
                     for m in list(self.inactive_models):
                         if m.model_id == det.model_id:
                             self.inactive_models.remove(m)
-                            m.prev_pose = glob.state.pose.copy()
-                            m.state = m.state._replace(
-                                pose=glob.state.pose.copy())
+                            m.prev_pose = gp.copy()
+                            m.state = m.state._replace(pose=gp.copy())
                             self.models.append(m)
                             if hasattr(self.segmenter, "remap_new_label"):
                                 self.segmenter.remap_new_label(
@@ -1240,10 +1351,10 @@ class MaskFusion:
             # spawn pose starts at the camera pose; static offset is
             # identity at spawn (makeStatic, Model.h:264 with pose=I
             # relative to camera)
-            new_model.state = new_model.state._replace(
-                pose=glob.state.pose.copy()
-            )
-            new_model.prev_pose = glob.state.pose.copy()
+            gp = (self._np_glob_pose if self._np_glob_pose is not None
+                  else glob.state.pose)
+            new_model.state = new_model.state._replace(pose=gp.copy())
+            new_model.prev_pose = gp.copy()
             self.models.append(new_model)
             for cb in self.new_model_listeners:
                 cb(new_model)
@@ -1290,27 +1401,31 @@ class MaskFusion:
                              default=1 << 16)
             windowed = bool(objs) and all(
                 m.window is not None for m in objs)
+            # ONE (n_models,4,4) upload: prev_pose is host numpy in steady
+            # state (unpacked from the device stage's hostvec); a freshly
+            # spawned model briefly carries a device-array pose — stack
+            # through jnp only then
+            prevs = [glob.prev_pose] + [m.prev_pose for m in objs]
+            if all(isinstance(p, np.ndarray) for p in prevs):
+                prev_poses = jnp.asarray(np.stack(prevs))
+            else:
+                prev_poses = jnp.stack([jnp.asarray(p) for p in prevs])
+            obj_params = jnp.asarray(np.asarray(
+                [[m.model_id, m.conf_threshold,
+                  min(cfg.depth_cutoff, m.max_depth),
+                  100.0 if m.age == 0 else cfg.weight_multiplier,
+                  (m.window or (0, 0))[0], (m.window or (0, 0))[1]]
+                 for m in objs], np.float32).reshape(len(objs), 6))
             new_glob, new_objs = self._pipelined_fuse_stage(
                 glob.state, tuple(m.state for m in objs), prep, rgb,
-                seg_mask, jnp.asarray(glob.prev_pose),
-                tuple(jnp.asarray(m.prev_pose) for m in objs),
-                float(tick),
-                jnp.asarray([m.model_id for m in objs], jnp.uint8),
-                jnp.asarray([m.conf_threshold for m in objs], jnp.float32),
-                jnp.asarray([min(cfg.depth_cutoff, m.max_depth)
-                             for m in objs], jnp.float32),
-                jnp.asarray([100.0 if m.age == 0 else cfg.weight_multiplier
-                             for m in objs], jnp.float32),
-                jnp.asarray([(m.window or (0, 0))[0] for m in objs],
-                            jnp.int32),
-                jnp.asarray([(m.window or (0, 0))[1] for m in objs],
-                            jnp.int32),
+                seg_mask, prev_poses, float(tick), obj_params,
                 glob_bucket=self._bucket_for(glob), obj_bucket=obj_bucket,
                 parity=parity, windowed=windowed,
             )
             glob.state = new_glob
             for m, s in zip(objs, new_objs):
                 m.state = s
+            self._seg_dev = (tick, seg_mask)
             return
         batch_objs = (len(objs) >= 2 and cfg.batch_object_tracking
                       and len({m.state.map.capacity for m in objs}) == 1)
@@ -1424,12 +1539,15 @@ class MaskFusion:
         # ---- device stage: frame t ----
         rgb = jnp.asarray(frame.rgb)
         depth = jnp.asarray(frame.depth.astype(np.float32))
-        prev_seg = jnp.asarray(
-            self.last_segmentation
-            if self.last_segmentation is not None
-            else np.zeros((self.res.height, self.res.width), np.uint8))
-        for model in self.models:
-            model.prev_pose = model.state.pose.copy()
+        seg_cache = getattr(self, "_seg_dev", None)
+        if (seg_cache is not None and seg_cache[0] == self.tick - 1
+                and self.last_segmentation is not None):
+            prev_seg = seg_cache[1]   # device copy uploaded by last fuse
+        else:
+            prev_seg = jnp.asarray(
+                self.last_segmentation
+                if self.last_segmentation is not None
+                else np.zeros((self.res.height, self.res.width), np.uint8))
         glob = self.models[0]
         objs = self.models[1:]
         trackable = cfg.trackable_classes
@@ -1438,33 +1556,41 @@ class MaskFusion:
             or all(m.class_id in trackable for m in objs)
         ) and len({m.state.map.capacity for m in objs}) <= 1
         if fused_ok:
-            # ONE dispatch for the whole pre-segmentation device stage
+            # ONE dispatch for the whole pre-segmentation device stage;
+            # prev_pose bookkeeping and pose logging ride the hostvec
+            # (unpacked in _finish_pipe) — no per-model device copies here
             glob_bucket = self._bucket_for(glob)
             obj_bucket = max((self._bucket_for(m) for m in objs),
                              default=1 << 16)
             windowed = bool(objs) and all(
                 m.window is not None for m in objs)
-            oys = jnp.asarray([(m.window or (0, 0))[0] for m in objs],
-                              jnp.int32)
-            oxs = jnp.asarray([(m.window or (0, 0))[1] for m in objs],
-                              jnp.int32)
+            obj_aux = jnp.asarray(np.asarray(
+                [[m.model_id, (m.window or (0, 0))[0],
+                  (m.window or (0, 0))[1]] for m in objs],
+                np.float32).reshape(len(objs), 3))
             with self.stopwatch.scope("odom"):
-                (prep, gpose, oposes, jump_stack, cov, ids_dev, edge_dev,
-                 nonedge_dev, counts) = self._pipelined_device_stage(
-                    glob.state, tuple(m.state for m in objs),
-                    jnp.asarray([m.model_id for m in objs], jnp.uint8),
+                (prep, gpose, oposes, hostvec, ids_dev, edge_dev,
+                 nonedge_dev) = self._pipelined_device_stage(
+                    glob.state, tuple(m.state for m in objs), obj_aux,
                     jnp.asarray([m.model_id for m in self.models],
-                                jnp.int32),
-                    rgb, depth, prev_seg, float(self.tick), oys, oxs,
+                                jnp.float32),
+                    rgb, depth, prev_seg, float(self.tick),
                     glob_bucket=glob_bucket, obj_bucket=obj_bucket,
                     windowed=windowed)
             glob.state = glob.state._replace(pose=gpose)
             for m, p in zip(objs, oposes):
                 m.state = m.state._replace(pose=p)
             tracked = list(objs)
-            if not objs:
-                jump_stack = None
+            for x in (ids_dev, edge_dev, nonedge_dev, hostvec):
+                self._start_async_copy(x)
+            self._pipe = dict(
+                frame=frame, prep=prep, rgb=rgb, ids=ids_dev,
+                edge=edge_dev, nonedge=nonedge_dev, hostvec=hostvec,
+                tracked=tracked, tick=self.tick,
+                count_models=list(self.models))
         else:
+            for model in self.models:
+                model.prev_pose = model.state.pose.copy()
             with self.stopwatch.scope("Preprocess"):
                 prep = self._preprocess(rgb, depth, prev_seg)
             with self.stopwatch.scope("odom"):
@@ -1474,15 +1600,16 @@ class MaskFusion:
                 edge_dev, nonedge_dev = self.segmenter._edge_binary(
                     prep.levels[0]["vmap"], prep.levels[0]["nmap"])
             counts = jnp.stack([m.state.map.count for m in self.models])
-        for x in (ids_dev, edge_dev, nonedge_dev, cov, jump_stack, counts):
-            if x is not None:
-                self._start_async_copy(x)
-        self._pipe = dict(
-            frame=frame, prep=prep, rgb=rgb, ids=ids_dev, edge=edge_dev,
-            nonedge=nonedge_dev, cov=cov, jumps=jump_stack,
-            tracked=tracked, tick=self.tick,
-            counts=counts, count_models=list(self.models))
-        self._log_poses(frame)
+            for x in (ids_dev, edge_dev, nonedge_dev, cov, jump_stack,
+                      counts):
+                if x is not None:
+                    self._start_async_copy(x)
+            self._pipe = dict(
+                frame=frame, prep=prep, rgb=rgb, ids=ids_dev,
+                edge=edge_dev, nonedge=nonedge_dev, cov=cov,
+                jumps=jump_stack, tracked=tracked, tick=self.tick,
+                counts=counts, count_models=list(self.models))
+            self._log_poses(frame)
         out = {
             "tick": self.tick, "n_models": len(self.models),
             "model_ids": [m.model_id for m in self.models],
@@ -1500,21 +1627,49 @@ class MaskFusion:
         self._pipe = None
         cfg = self.cfg
         tick = P["tick"]
-        counts = np.asarray(P["counts"])
-        for model, c in zip(P["count_models"], counts):
+        models = P["count_models"]
+        n = len(models)
+        n_obj = n - 1
+        if P.get("hostvec") is not None:
+            # ONE blocking read for every per-frame host-bound scalar:
+            # counts, cov, jumps, prev poses, world poses (separate small
+            # np.asarray fetches measured ~57 ms EACH on the remote
+            # transport; the packed async-copied vector fetches in ~0)
+            with self.stopwatch.scope("fetch"):
+                hv = np.asarray(P["hostvec"])
+            counts = hv[:n]
+            cov = float(hv[n])
+            jumps = hv[n + 1:n + 1 + n_obj] if n_obj else None
+            p0 = n + 1 + n_obj
+            prev_poses = hv[p0:p0 + 16 * n].reshape(n, 4, 4)
+            world_poses = hv[p0 + 16 * n:p0 + 32 * n].reshape(n, 4, 4)
+            ts = P["frame"].timestamp or float(tick)
+            for i, model in enumerate(models):
+                model.prev_pose = prev_poses[i]
+                model.pose_log.append({
+                    "timestamp": ts, "tick": tick,
+                    "pose": world_poses[i].copy(),
+                })
+            self._np_glob_pose = world_poses[0]
+        else:
+            with self.stopwatch.scope("fetch"):
+                counts = np.asarray(P["counts"])
+            cov = float(np.asarray(P["cov"]))
+            jumps = (np.asarray(P["jumps"])
+                     if P["jumps"] is not None else None)
+        for model, c in zip(models, counts):
             model.count_est = int(c)
-        if P["count_models"]:
+        if models:
             self._last_count = int(counts[0])
-        cov = float(np.asarray(P["cov"]))
         tracking_ok = cov <= self._cov_thresh
         self._last_tracking_ok = tracking_ok
-        if P["jumps"] is not None:
-            jumps = np.asarray(P["jumps"])
+        if jumps is not None:
             for model, jump in zip(P["tracked"], jumps):
                 if (float(jump) > cfg.model_deactivate_jump
                         and model in self.models):
                     self._inactivate_model(model, "movement")
-        ids = np.asarray(P["ids"])
+        with self.stopwatch.scope("fetch_ids"):
+            ids = np.asarray(P["ids"])
         with self.stopwatch.scope("segmentation"):
             seg_mask_np = self._segment_and_update_models(
                 P["frame"], P["prep"], P["rgb"], ids,
@@ -1523,6 +1678,7 @@ class MaskFusion:
         with self.stopwatch.scope("fuse"):
             self._dispatch_fuse(P["prep"], P["rgb"], seg_mask_np, tick,
                                 do_fuse)
+        self._np_glob_pose = None
         for model in self.models:
             model.age += 1
         if self._diag_exporter:

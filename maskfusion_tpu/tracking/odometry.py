@@ -143,6 +143,27 @@ def build_model_pyramids(
 
 def _k_matrices(intr: CameraIntrinsics, level: int):
     il = intr.level(level)
+    if any(isinstance(v, jnp.ndarray) for v in (il.fx, il.fy, il.cx, il.cy)):
+        # traced intrinsics (windowed object tracking shifts the principal
+        # point by a dynamic crop offset, engine.track_objects_win) — build
+        # K and its closed-form pinhole inverse inside the trace
+        fx = jnp.float32(il.fx)
+        fy = jnp.float32(il.fy)
+        cx = jnp.float32(il.cx)
+        cy = jnp.float32(il.cy)
+        z = jnp.float32(0.0)
+        o = jnp.float32(1.0)
+        K = jnp.stack([
+            jnp.stack([fx, z, cx]),
+            jnp.stack([z, fy, cy]),
+            jnp.stack([z, z, o]),
+        ])
+        K_inv = jnp.stack([
+            jnp.stack([1.0 / fx, z, -cx / fx]),
+            jnp.stack([z, 1.0 / fy, -cy / fy]),
+            jnp.stack([z, z, o]),
+        ])
+        return K, K_inv
     K = np.array(
         [[il.fx, 0, il.cx], [0, il.fy, il.cy], [0, 0, 1]], dtype=np.float32
     )
