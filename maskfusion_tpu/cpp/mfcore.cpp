@@ -144,33 +144,78 @@ int32_t mf_connected_components(const uint8_t* binary, int32_t h, int32_t w,
 void mf_reassign_edges(int32_t* labels, const float* depth,
                        const int32_t* sizes, int32_t h, int32_t w,
                        int32_t iters, float delta, int32_t small_thresh) {
-  const size_t n = static_cast<size_t>(h) * w;
-  std::vector<int32_t> buf(n);
+  // Frontier formulation of the synchronous relaxation.  A needy pixel's
+  // outcome can only change between rounds if one of its 8 neighbours
+  // became big-labelled in the previous round (existing big neighbours
+  // keep the same label and depth, so a failed depth test stays failed;
+  // labels never shrink).  So each round only visits (a) last round's
+  // untested exposure frontier, instead of every needy pixel in the
+  // image (58% of it on heavily textured scenes).  Updates are buffered
+  // per round, so every read within a round sees start-of-round labels —
+  // identical results to the previous full-image double buffer.
   static const int off[8][2] = {{-1, -1}, {-1, 0}, {-1, 1}, {0, -1},
                                 {0, 1},  {1, -1}, {1, 0},  {1, 1}};
-  for (int32_t it = 0; it < iters; ++it) {
-    std::memcpy(buf.data(), labels, sizeof(int32_t) * n);
-    bool changed = false;
-    for (int32_t y = 1; y < h - 1; ++y) {
-      for (int32_t x = 1; x < w - 1; ++x) {
-        const size_t i = static_cast<size_t>(y) * w + x;
-        const int32_t c = buf[i];
-        if (c != 0 && sizes[c] >= small_thresh) continue;
-        const float d = depth[i];
-        for (const auto& o : off) {
-          const size_t j = static_cast<size_t>(y + o[0]) * w + (x + o[1]);
-          const int32_t cn = labels[j];
-          if (cn != 0 && sizes[cn] > small_thresh &&
-              __builtin_fabsf(depth[j] - d) < delta) {
-            buf[i] = cn;
-            changed = true;
-            break;
-          }
+  const size_t n = static_cast<size_t>(h) * w;
+  std::vector<uint8_t> needs(n, 0);
+  std::vector<uint8_t> queued(n, 0);
+  std::vector<int32_t> cand, next_cand;
+  std::vector<std::pair<int32_t, int32_t>> pending;
+  for (int32_t y = 1; y < h - 1; ++y) {
+    const size_t row = static_cast<size_t>(y) * w;
+    for (int32_t x = 1; x < w - 1; ++x) {
+      const int32_t c = labels[row + x];
+      if (c == 0 || sizes[c] < small_thresh) needs[row + x] = 1;
+    }
+  }
+  // round-1 candidates: needy pixels with at least one big neighbour
+  for (int32_t y = 1; y < h - 1; ++y) {
+    const size_t row = static_cast<size_t>(y) * w;
+    for (int32_t x = 1; x < w - 1; ++x) {
+      const int32_t i = static_cast<int32_t>(row + x);
+      if (!needs[i]) continue;
+      for (const auto& o : off) {
+        const int32_t cn = labels[i + o[0] * w + o[1]];
+        if (cn != 0 && sizes[cn] > small_thresh) {
+          cand.push_back(i);
+          queued[i] = 1;
+          break;
         }
       }
     }
-    std::memcpy(labels, buf.data(), sizeof(int32_t) * n);
-    if (!changed) break;
+  }
+  for (int32_t it = 0; it < iters && !cand.empty(); ++it) {
+    pending.clear();
+    for (const int32_t i : cand) {
+      queued[i] = 0;
+      const float d = depth[i];
+      for (const auto& o : off) {
+        const int32_t j = i + o[0] * w + o[1];
+        const int32_t cn = labels[j];
+        if (cn != 0 && sizes[cn] > small_thresh &&
+            __builtin_fabsf(depth[j] - d) < delta) {
+          pending.emplace_back(i, cn);
+          needs[i] = 0;
+          break;
+        }
+      }
+    }
+    if (pending.empty()) break;
+    next_cand.clear();
+    for (const auto& p : pending) labels[p.first] = p.second;
+    // expose: needy unqueued neighbours of newly assigned pixels (their
+    // outcome may now differ); re-queue failed candidates only if they
+    // too are adjacent to a new assignment
+    for (const auto& p : pending) {
+      const int32_t i = p.first;
+      for (const auto& o : off) {
+        const int32_t j = i + o[0] * w + o[1];
+        if (needs[j] && !queued[j]) {
+          queued[j] = 1;
+          next_cand.push_back(j);
+        }
+      }
+    }
+    cand.swap(next_cand);
   }
 }
 

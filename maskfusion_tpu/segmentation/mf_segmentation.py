@@ -130,32 +130,40 @@ class MfSegmentation:
         for m in models:
             result.model_data.append(ModelData(m.model_id, class_id=m.class_id))
 
-        # component-model overlap (:306-308)
-        comp_model = np.zeros((n_comp, max(n_models, 1)), np.int64)
-        np.add.at(comp_model, (labels.ravel(), id_to_index[projected_ids].ravel()), 1)
+        # component-model overlap (:306-308).  All the per-component
+        # bookkeeping below is flat bincounts / argmaxes over the label
+        # image — the reference's per-component loops (MfSegmentation.cpp
+        # :306-344,:496-522) are O(n_comp * H * W) in numpy and measured
+        # ~110 ms/frame on textured scenes with ~2.5k components.
+        lab_flat = labels.ravel()   # int32; keys stay well below 2**31
+        nm = max(n_models, 1)
+        comp_model = np.bincount(
+            lab_flat * np.int32(nm) + id_to_index[projected_ids].ravel(),
+            minlength=n_comp * nm).reshape(n_comp, nm)
+        csizes = comp_model.sum(1)   # component sizes fall out for free
 
         # ---- component <-> mask overlap, 0.65 rule (:310-344) ----
         map_comp_to_mask = np.zeros(n_comp, np.int32)
         mask_pixels = np.zeros(max(n_masks, 1), np.int64)
-        mask_boxes = np.full((max(n_masks, 1), 4), [1 << 30, 1 << 30, -1, -1],
-                             np.int64)
-        if n_masks:
-            overlap = np.zeros((n_comp, n_masks), np.int64)
-            np.add.at(overlap, (labels.ravel(), mask.ravel().clip(0, n_masks - 1)), 1)
-            csizes = np.bincount(labels.ravel(), minlength=n_comp)
-            for c in range(1, n_comp):
-                if csizes[c] > cfg.seg_min_mapped_component_size:
-                    t = 0.65 * csizes[c]
-                    for mi in range(1, n_masks):
-                        if overlap[c, mi] > t:
-                            map_comp_to_mask[c] = mi
-                            mask_pixels[mi] += csizes[c]
-                            bb = comp.bboxes[c] if c < len(comp.bboxes) else None
-                            if bb is not None:
-                                mask_boxes[mi, 0] = min(mask_boxes[mi, 0], bb[0])
-                                mask_boxes[mi, 1] = min(mask_boxes[mi, 1], bb[1])
-                                mask_boxes[mi, 2] = max(mask_boxes[mi, 2], bb[2])
-                                mask_boxes[mi, 3] = max(mask_boxes[mi, 3], bb[3])
+        if n_masks > 1:
+            overlap = np.bincount(
+                lab_flat * np.int32(n_masks)
+                + mask.ravel().clip(0, n_masks - 1).astype(np.int32),
+                minlength=n_comp * n_masks).reshape(n_comp, n_masks)
+            # at most ONE mask can hold > 65% of a component, so the
+            # first-hit of the reference loop == the argmax here
+            cand = overlap[:, 1:]
+            best_mi = cand.argmax(1).astype(np.int32) + 1
+            best_ov = np.take_along_axis(
+                cand, (best_mi - 1)[:, None], 1)[:, 0]
+            elig = ((csizes > cfg.seg_min_mapped_component_size)
+                    & (best_ov > 0.65 * csizes))
+            elig[0] = False
+            map_comp_to_mask = np.where(elig, best_mi, 0).astype(np.int32)
+            mask_pixels = np.bincount(
+                map_comp_to_mask, weights=csizes.astype(np.float64),
+                minlength=max(n_masks, 1)).astype(np.int64)
+            mask_pixels[0] = 0
 
         seg = map_comp_to_mask[labels].astype(np.uint8)
         seg[self.semantic_ignore > 0] = 255
@@ -178,14 +186,13 @@ class MfSegmentation:
                 if class_ids[mi] == cfg.person_class_id:
                     mask_to_id[mi] = 255
 
-            # overlap of segmentation labels with projected model ids
-            model_mask_overlap = np.zeros((n_models, 256), np.int64)
-            for b, mid in enumerate(model_ids):
-                sel = projected_ids == mid
-                if sel.any():
-                    model_mask_overlap[b] = np.bincount(
-                        seg[sel].ravel(), minlength=256
-                    )
+            # overlap of segmentation labels with projected model ids.
+            # id_to_index maps ids of non-live models to row 0, which the
+            # assignment loop below never reads (j starts at 1).
+            model_mask_overlap = np.bincount(
+                id_to_index[projected_ids].ravel() * np.int32(256)
+                + seg.ravel(), minlength=n_models * 256,
+            ).reshape(n_models, 256)
 
             min_new = cfg.seg_min_new_rel * total
             max_new = cfg.seg_max_new_rel * total
@@ -226,23 +233,36 @@ class MfSegmentation:
             seg = mask_to_id[seg]
 
         # ---- leftover components -> models by 0.6 overlap (:496-522) ----
-        csizes = np.bincount(labels.ravel(), minlength=n_comp)
-        for c in range(1, n_comp):
-            if map_comp_to_mask[c] == 0 and n_models:
-                midx = int(np.argmax(comp_model[c]))
-                ov = comp_model[c, midx]
-                mid = model_ids[midx]
-                if mid > 0 and ov > 0.6 * csizes[c]:
-                    seg[labels == c] = mid
+        if n_models:
+            midx = comp_model.argmax(1)
+            ov = np.take_along_axis(comp_model, midx[:, None], 1)[:, 0]
+            mid_arr = np.asarray(model_ids, np.uint8)[midx]
+            take = ((map_comp_to_mask == 0) & (mid_arr > 0)
+                    & (ov > 0.6 * csizes))
+            take[0] = False
+            comp_override = np.where(take, mid_arr, 0).astype(np.uint8)
+            if comp_override.any():
+                ov_img = comp_override[labels]
+                seg = np.where(ov_img > 0, ov_img, seg)
 
         result.full_segmentation = seg
 
-        # per-model depth statistics (SegmentationResult::ModelData)
+        # per-model depth statistics (SegmentationResult::ModelData) — one
+        # set of label-bincount moments instead of a full-image scan per
+        # model
+        dvalid = depth > 0
+        seg_v = seg[dvalid].astype(np.int64)
+        d_v = depth[dvalid].astype(np.float64)
+        cnt = np.bincount(seg_v, minlength=256)
+        s1 = np.bincount(seg_v, weights=d_v, minlength=256)
+        s2 = np.bincount(seg_v, weights=d_v * d_v, minlength=256)
         for md in result.model_data:
-            sel = (seg == md.model_id) & (depth > 0)
-            if sel.any():
-                md.depth_mean = float(depth[sel].mean())
-                md.depth_std = float(depth[sel].std())
-                md.pixel_count = int(sel.sum())
-                md.is_empty = md.pixel_count == 0
+            n_px = int(cnt[md.model_id])
+            if n_px:
+                mean = s1[md.model_id] / n_px
+                var = max(s2[md.model_id] / n_px - mean * mean, 0.0)
+                md.depth_mean = float(mean)
+                md.depth_std = float(np.sqrt(var))
+                md.pixel_count = n_px
+                md.is_empty = False
         return result
