@@ -42,10 +42,13 @@ def make_frames(width, height, n):
             1.5 + 0.0004 * u + 0.0003 * v
             + 0.08 * np.sin(u * 0.03 + i * 0.02) * np.cos(v * 0.04)
         ).astype(np.float32)
+        # uint16 millimetres: the sensor wire format (KLG/TUM-PNG); the
+        # engine uploads it raw (0.6 MB vs 1.2 MB) and converts on device
+        depth_mm = np.round(depth * 1000.0).astype(np.uint16)
         rgb = np.stack(
             [(u * 3 + 5 * i) % 256, (v * 2) % 256, (u + v) % 256], -1
         ).astype(np.uint8)
-        frames.append(FrameData(rgb=rgb, depth=depth, timestamp=float(i)))
+        frames.append(FrameData(rgb=rgb, depth=depth_mm, timestamp=float(i)))
     return frames
 
 
@@ -79,7 +82,8 @@ def make_two_object_frames(width, height, n):
         pts = np.concatenate([pts_bg, pts_o1 + off1, pts_o2 + off2])
         rgb, depth, lab = ms.render(pts, cols, cam, fx, fy, cx, cy,
                                     width, height, labels)
-        frames.append(FrameData(rgb=rgb, depth=depth, mask=lab,
+        depth_mm = np.round(depth * 1000.0).astype(np.uint16)
+        frames.append(FrameData(rgb=rgb, depth=depth_mm, mask=lab,
                                 class_ids=[0, 7, 8], timestamp=float(i)))
     return frames, (fx, fy, cx, cy)
 

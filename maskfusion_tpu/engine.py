@@ -206,6 +206,12 @@ class MaskFusion:
 
         @jax.jit
         def preprocess(rgb, depth, prev_seg):
+            # depth may arrive as RAW uint16 millimetres (the sensor wire
+            # format, FrameData.h:25-48): converting on device halves the
+            # depth upload bytes on remote transports.  dtype is static, so
+            # this branch costs nothing and fuses into the bilateral pass.
+            if depth.dtype == jnp.uint16:
+                depth = depth.astype(jnp.float32) * jnp.float32(1e-3)
             # bilateral stays on the fused-XLA path: the 169-tap Pallas
             # variant blows up Mosaic compile time (see ops/pallas_kernels)
             filt = pp.bilateral_filter_depth(
@@ -945,14 +951,17 @@ class MaskFusion:
         accepts the staged arrays transparently (jnp.asarray is a no-op on
         committed device arrays)."""
         depth = frame.depth
-        if not isinstance(depth, jax.Array):
+        if not isinstance(depth, jax.Array) and depth.dtype != np.uint16:
+            # uint16 millimetres upload RAW (0.6 MB vs 1.2 MB at VGA) and
+            # convert on device inside preprocess; anything else stages as
+            # float32 metres
             depth = depth.astype(np.float32)
         return dataclasses.replace(
             frame,
             rgb=jax.device_put(frame.rgb),
             depth=jax.device_put(depth),
             rgb_host=frame.rgb,
-            depth_host=np.asarray(depth),
+            depth_host=frame.host_depth(),
         )
 
     def process_frame(self, frame: FrameData,
@@ -969,7 +978,9 @@ class MaskFusion:
                 and hasattr(self.segmenter, "_edge_binary")):
             return self._pipelined_step(frame, t0)
         rgb = jnp.asarray(frame.rgb)
-        depth = jnp.asarray(frame.depth.astype(np.float32))
+        depth = jnp.asarray(frame.depth)   # u16 mm uploads raw; preprocess
+        if depth.dtype not in (jnp.uint16, jnp.float32):  # converts on device
+            depth = depth.astype(jnp.float32)
         prev_seg = jnp.asarray(
             self.last_segmentation
             if self.last_segmentation is not None
@@ -1538,7 +1549,9 @@ class MaskFusion:
 
         # ---- device stage: frame t ----
         rgb = jnp.asarray(frame.rgb)
-        depth = jnp.asarray(frame.depth.astype(np.float32))
+        depth = jnp.asarray(frame.depth)   # u16 mm stays raw (preprocess
+        if depth.dtype not in (jnp.uint16, jnp.float32):  # converts)
+            depth = depth.astype(jnp.float32)
         seg_cache = getattr(self, "_seg_dev", None)
         if (seg_cache is not None and seg_cache[0] == self.tick - 1
                 and self.last_segmentation is not None):

@@ -16,7 +16,9 @@ import numpy as np
 @dataclasses.dataclass
 class FrameData:
     rgb: np.ndarray                      # (H, W, 3) uint8, RGB order
-    depth: np.ndarray                    # (H, W) float32, metres (0 = invalid)
+    depth: np.ndarray                    # (H, W) float32 metres, or uint16
+                                         # millimetres (device converts; 0 =
+                                         # invalid either way)
     timestamp: float = 0.0
     index: int = -1
     mask: Optional[np.ndarray] = None    # (H, W) uint8 instance-id image
@@ -29,8 +31,16 @@ class FrameData:
     depth_host: Optional[np.ndarray] = None
 
     def host_depth(self) -> np.ndarray:
+        """Metric float32 depth on the host.  `depth` itself may be staged
+        as RAW uint16 millimetres (engine.upload_frame keeps the wire format
+        to halve the device upload); this accessor always converts."""
         d = self.depth_host if self.depth_host is not None else self.depth
-        return np.asarray(d)
+        d = np.asarray(d)
+        if d.dtype == np.uint16:
+            d = d.astype(np.float32) * np.float32(1e-3)
+        elif d.dtype != np.float32:
+            d = d.astype(np.float32)
+        return d
 
     def host_rgb(self) -> np.ndarray:
         r = self.rgb_host if self.rgb_host is not None else self.rgb

@@ -89,6 +89,8 @@ class CfSegmentation:
         engine passes real per-model views when available."""
         H, W = frame.depth.shape
         depth = jnp.asarray(frame.depth)
+        if depth.dtype == jnp.uint16:   # raw sensor millimetres
+            depth = depth.astype(jnp.float32) * jnp.float32(1e-3)
         rgbj = jnp.asarray(frame.rgb)
         n_models = len(models)
         n_labels = n_models + (1 if allow_new else 0)
