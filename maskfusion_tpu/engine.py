@@ -816,7 +816,9 @@ class MaskFusion:
                         obj_states[i].map, new_poses[i], time,
                         cfg.depth_cutoff, obj_bucket))
             ids = combine_ids(depths, ids_vec)
-            edge, nonedge = self.segmenter._edge_binary(
+            # only the 1-byte non-edge binary is fetched host-side; the f32
+            # edge magnitude image (1.2 MB at VGA) never crosses the wire
+            _edge, nonedge = self.segmenter._edge_binary(
                 prep.levels[0]["vmap"], prep.levels[0]["nmap"])
             counts = jnp.stack(
                 [glob_state.map.count] + [s.map.count for s in obj_states])
@@ -835,7 +837,7 @@ class MaskFusion:
             # per-object poses unstacked INSIDE the graph — host-side
             # indexing of the stacked array would be one dispatch per model
             pose_tuple = tuple(new_poses[i] for i in range(n_obj))
-            return (prep, tr.pose, pose_tuple, hostvec, ids, edge, nonedge)
+            return (prep, tr.pose, pose_tuple, hostvec, ids, nonedge)
 
         self._pipelined_device_stage = jax.jit(
             pipelined_device_stage,
@@ -1282,7 +1284,7 @@ class MaskFusion:
 
     def _segment_and_update_models(self, frame: FrameData, prep, rgb,
                                    ids: np.ndarray,
-                                   edge_pair=None,
+                                   nonedge=None,
                                    tick: "int | None" = None) -> np.ndarray:
         """Host segmentation + model lifecycle for one frame
         (MaskFusion.cpp:289-374): segmenter, redetection, spawning (with
@@ -1301,7 +1303,7 @@ class MaskFusion:
                  or tick <= cfg.mask_cutoff_frame)
         )
         infos = [ModelInfo(m.model_id, m.class_id) for m in self.models]
-        kw = {"edge_nonedge": edge_pair} if edge_pair is not None else {}
+        kw = {"nonedge": nonedge} if nonedge is not None else {}
         seg_result = self.segmenter.perform(
             frame, prep.levels[0]["vmap"], prep.levels[0]["nmap"],
             ids, infos, self._get_next_model_id(False), allow_new, **kw,
@@ -1582,7 +1584,7 @@ class MaskFusion:
                   (m.window or (0, 0))[1]] for m in objs],
                 np.float32).reshape(len(objs), 3))
             with self.stopwatch.scope("odom"):
-                (prep, gpose, oposes, hostvec, ids_dev, edge_dev,
+                (prep, gpose, oposes, hostvec, ids_dev,
                  nonedge_dev) = self._pipelined_device_stage(
                     glob.state, tuple(m.state for m in objs), obj_aux,
                     jnp.asarray([m.model_id for m in self.models],
@@ -1594,11 +1596,11 @@ class MaskFusion:
             for m, p in zip(objs, oposes):
                 m.state = m.state._replace(pose=p)
             tracked = list(objs)
-            for x in (ids_dev, edge_dev, nonedge_dev, hostvec):
+            for x in (ids_dev, nonedge_dev, hostvec):
                 self._start_async_copy(x)
             self._pipe = dict(
                 frame=frame, prep=prep, rgb=rgb, ids=ids_dev,
-                edge=edge_dev, nonedge=nonedge_dev, hostvec=hostvec,
+                nonedge=nonedge_dev, hostvec=hostvec,
                 tracked=tracked, tick=self.tick,
                 count_models=list(self.models))
         else:
@@ -1610,16 +1612,15 @@ class MaskFusion:
                 tracked, jump_stack, cov = self._track_models_device(prep)
             with self.stopwatch.scope("projection"):
                 ids_dev = self._project_ids_all(float(self.tick))
-                edge_dev, nonedge_dev = self.segmenter._edge_binary(
+                _edge_dev, nonedge_dev = self.segmenter._edge_binary(
                     prep.levels[0]["vmap"], prep.levels[0]["nmap"])
             counts = jnp.stack([m.state.map.count for m in self.models])
-            for x in (ids_dev, edge_dev, nonedge_dev, cov, jump_stack,
-                      counts):
+            for x in (ids_dev, nonedge_dev, cov, jump_stack, counts):
                 if x is not None:
                     self._start_async_copy(x)
             self._pipe = dict(
                 frame=frame, prep=prep, rgb=rgb, ids=ids_dev,
-                edge=edge_dev, nonedge=nonedge_dev, cov=cov,
+                nonedge=nonedge_dev, cov=cov,
                 jumps=jump_stack, tracked=tracked, tick=self.tick,
                 counts=counts, count_models=list(self.models))
             self._log_poses(frame)
@@ -1686,7 +1687,7 @@ class MaskFusion:
         with self.stopwatch.scope("segmentation"):
             seg_mask_np = self._segment_and_update_models(
                 P["frame"], P["prep"], P["rgb"], ids,
-                edge_pair=(P["edge"], P["nonedge"]), tick=tick)
+                nonedge=P["nonedge"], tick=tick)
         do_fuse = tracking_ok and not self.lost and not cfg.rgb_only
         with self.stopwatch.scope("fuse"):
             self._dispatch_fuse(P["prep"], P["rgb"], seg_mask_np, tick,

@@ -63,7 +63,6 @@ class MfSegmentation:
             return edge, jnp.logical_not(binary)  # inverted: True = non-edge
 
         self._edge_binary = edge_binary
-        self.last_edge_map: Optional[np.ndarray] = None
 
     def perform(
         self,
@@ -74,12 +73,13 @@ class MfSegmentation:
         models: Sequence[ModelInfo],
         next_model_id: int,
         allow_new: bool,
-        edge_nonedge=None,
+        nonedge=None,
     ) -> SegmentationResult:
-        """`edge_nonedge`, when given, is a precomputed (edge, nonedge)
-        host pair from `edge_binary()` — the pipelined engine dispatches the
-        device part a frame ahead and prefetches it asynchronously, so
-        perform() never blocks on the device (engine pipelined mode)."""
+        """`nonedge`, when given, is a precomputed non-edge binary from
+        `edge_binary()` — the pipelined engine dispatches the device part a
+        frame ahead and prefetches it asynchronously, so perform() never
+        blocks on the device (engine pipelined mode).  Only the 1-byte
+        binary crosses the wire; the f32 edge magnitudes stay on device."""
         cfg = self.cfg
         H, W = self.res.height, self.res.width
         total = H * W
@@ -89,11 +89,8 @@ class MfSegmentation:
         depth = frame.host_depth()
 
         # ---- device part: edge map -> non-edge binary ----
-        if edge_nonedge is None:
-            edge, nonedge = self._edge_binary(vmap, nmap)
-        else:
-            edge, nonedge = edge_nonedge
-        self.last_edge_map = np.asarray(edge)
+        if nonedge is None:
+            _edge, nonedge = self._edge_binary(vmap, nmap)
         nonedge = np.asarray(nonedge)
 
         # ---- person-ignore map (MfSegmentation.cpp:221-235) ----

@@ -39,12 +39,12 @@ jax.block_until_ready(edge)
 
 import cProfile, pstats
 res = seg.perform(f, vmap, nmap, ids, infos, 3, True,
-                  edge_nonedge=(edge, nonedge))
+                  nonedge=nonedge)
 N = 20
 t0 = time.perf_counter()
 for _ in range(N):
     res = seg.perform(f, vmap, nmap, ids, infos, 3, True,
-                      edge_nonedge=(edge, nonedge))
+                      nonedge=nonedge)
 dt = (time.perf_counter() - t0) / N * 1000
 print(f"segmenter.perform: {dt:.2f} ms")
 
@@ -52,6 +52,6 @@ pr = cProfile.Profile()
 pr.enable()
 for _ in range(10):
     seg.perform(f, vmap, nmap, ids, infos, 3, True,
-                edge_nonedge=(edge, nonedge))
+                nonedge=nonedge)
 pr.disable()
 pstats.Stats(pr).sort_stats("cumulative").print_stats(18)
