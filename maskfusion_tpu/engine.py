@@ -515,7 +515,11 @@ class MaskFusion:
             diag = (tr.icp_error, tr.icp_count, tr.rgb_count,
                     jnp.max(tr.cov_diag), new_state.map.count, removed,
                     appended)
-            return new_state, diag
+            # pose_log copy rides the SAME dispatch: `+ 0.0` forces a buffer
+            # distinct from new_state.pose, which is donated into the next
+            # step (a separate host-side pose.copy() costs a full dispatch
+            # round trip per frame on remote transports)
+            return new_state, diag, tr.pose + 0.0
 
         self._fused_static_step = jax.jit(
             fused_static_step, donate_argnums=(0,),
@@ -1027,16 +1031,18 @@ class MaskFusion:
                                       glob.state.map.capacity,
                                       current=glob.last_bucket)
             glob.last_bucket = bucket
-            glob.state, d = self._fused_static_step(
+            glob.state, d, pose_out = self._fused_static_step(
                 glob.state, rgb, depth, float(self.tick), bucket=bucket,
                 parity=(self.tick % 2
                         if cfg.fuse_subsample_checkerboard else None),
                 compact=(self.tick % self.DIAG_INTERVAL == 0))
-            # pose log keeps a device-side copy (the state itself is
-            # donated into the next step); export converts lazily
+            # pose log keeps the step's own device-side pose output (the
+            # state is donated into the next step; export converts lazily)
+            # — a host-issued pose.copy() would cost one extra dispatch
+            # round trip per frame
             glob.pose_log.append({
                 "timestamp": frame.timestamp or float(self.tick),
-                "tick": self.tick, "pose": glob.state.pose.copy(),
+                "tick": self.tick, "pose": pose_out,
             })
             glob.age += 1
             # No per-frame sync: diagnostics stay on device and are fetched
