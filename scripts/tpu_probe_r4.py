@@ -176,3 +176,90 @@ try:
            lambda: ofcp_s(ost, prep, rj))
 except Exception as e:
     print("obj fcp probe failed:", e, flush=True)
+
+# ---- pipelined two-object stages (the multi-object bench's dispatches) ----
+print("---- pipelined stages: glob + 2 objects ----", flush=True)
+from maskfusion_tpu.engine import MapState  # noqa: E402
+
+fill = jax.block_until_ready(jax.jit(
+    lambda im, imc: splat_ops.combined_predict(
+        im, intr, cfg.depth_cutoff, coarse=(imc, 2)))(im1, im_coarse))
+obj_state = MapState(
+    map=obj_map, pose=st.pose, last_delta=jnp.eye(4, dtype=jnp.float32),
+    pred_vmap=fill.vmap, pred_nmap=fill.nmap,
+    pred_rgb=fill.rgb.astype(jnp.float32),
+    so3_intensity=st.so3_intensity)
+obj_aux = jnp.asarray([[1.0, 80.0, 160.0], [2.0, 80.0, 160.0]], jnp.float32)
+ids_vec = jnp.asarray([0.0, 1.0, 2.0], jnp.float32)
+
+pds = eng._pipelined_device_stage
+pds_s = jax.jit(lambda gs, o1, o2, r, d: ssum(*(
+    lambda out: (out[3], out[4], out[5], out[0].filt_depth))(
+        pds(gs, (o1, o2), obj_aux, ids_vec, r, d, mz, TIME,
+            glob_bucket=B, obj_bucket=OB, windowed=True))))
+dj16 = jnp.asarray((d0 * 1000).astype(np.uint16))
+try:
+    timeit("pipelined_device_stage (glob+2 obj win)",
+           lambda: pds_s(st, obj_state, obj_state, rj, dj16))
+except Exception as e:
+    print("pds probe failed:", e, flush=True)
+pds0_s = jax.jit(lambda gs, r, d: ssum(*(
+    lambda out: (out[3], out[4], out[5], out[0].filt_depth))(
+        pds(gs, (), jnp.zeros((0, 3), jnp.float32),
+            ids_vec[:1], r, d, mz, TIME,
+            glob_bucket=B, obj_bucket=OB, windowed=False))))
+try:
+    timeit("pipelined_device_stage (glob only)",
+           lambda: pds0_s(st, rj, dj16))
+except Exception as e:
+    print("pds0 probe failed:", e, flush=True)
+
+pfsw = jax.jit(eng._pipelined_fuse_stage.__wrapped__,
+               static_argnames=("glob_bucket", "obj_bucket", "parity",
+                                "windowed"))
+obj_params = jnp.asarray([[1.0, 3.0, 3.0, 1.0, 80.0, 160.0],
+                          [2.0, 3.0, 3.0, 1.0, 80.0, 160.0]], jnp.float32)
+prev3 = jnp.stack([st.pose] * 3)
+seg2 = jnp.zeros((H, W), jnp.uint8)
+
+
+def consume_fuse(out):
+    ng, objs_out = out
+    parts = [ng.map.pos, ng.map.conf, ng.pose]
+    for o in objs_out:
+        parts.extend([o.map.pos, o.map.conf, o.pose])
+    return ssum(*parts)
+
+
+pfs_s = jax.jit(lambda gs, o1, o2, p, r: consume_fuse(
+    pfsw(gs, (o1, o2), p, r, seg2, prev3, TIME, obj_params,
+         glob_bucket=B, obj_bucket=OB, parity=0, windowed=True)))
+try:
+    timeit("pipelined_fuse_stage (glob+2 obj win)",
+           lambda: pfs_s(st, obj_state, obj_state, prep, rj))
+except Exception as e:
+    print("pfs probe failed:", e, flush=True)
+pfs0_s = jax.jit(lambda gs, p, r: consume_fuse(
+    pfsw(gs, (), p, r, seg2, prev3[:1], TIME,
+         jnp.zeros((0, 6), jnp.float32),
+         glob_bucket=B, obj_bucket=OB, parity=0, windowed=False)))
+try:
+    timeit("pipelined_fuse_stage (glob only)",
+           lambda: pfs0_s(st, prep, rj))
+except Exception as e:
+    print("pfs0 probe failed:", e, flush=True)
+
+# upload-bandwidth floor: stage one frame (u8 rgb + u16 depth) and sum it
+up_s = jax.jit(lambda r, d: jnp.sum(r.astype(jnp.float32))
+               + jnp.sum(d.astype(jnp.float32)))
+r_host = np.asarray(r0)
+d_host = (d0 * 1000).astype(np.uint16)
+
+
+def upload_once():
+    rr = jax.device_put(r_host)
+    dd = jax.device_put(d_host)
+    return up_s(rr, dd)
+
+
+timeit("frame upload (0.9 MB u8 + 0.6 MB u16)", lambda: upload_once(), N=24)
