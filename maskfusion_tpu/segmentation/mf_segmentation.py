@@ -179,6 +179,7 @@ class MfSegmentation:
 
             # ---- mask -> model assignment (:432-494) ----
             mask_to_id = np.zeros(256, np.uint8)
+            mask_to_id[255] = 255   # keep semantic-ignore pixels ignored
             for mi in range(1, n_masks):
                 if class_ids[mi] == cfg.person_class_id:
                     mask_to_id[mi] = 255
