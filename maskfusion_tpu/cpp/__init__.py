@@ -52,6 +52,18 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     lib.mf_reassign_edges.argtypes = [
         i32p, f32p, i32p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_float, ctypes.c_int32]
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    lib.mf_label_stats.restype = None
+    lib.mf_label_stats.argtypes = [
+        i32p, u8p, i32p, u8p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, i32p, i32p]
+    lib.mf_model_seg_overlap.restype = None
+    lib.mf_model_seg_overlap.argtypes = [
+        u8p, u8p, i32p, ctypes.c_int64, i32p]
+    lib.mf_depth_moments.restype = None
+    lib.mf_depth_moments.argtypes = [
+        u8p, f32p, ctypes.c_int64, i64p, f64p, f64p]
     lib.mf_inflate.restype = ctypes.c_int64
     lib.mf_inflate.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,

@@ -219,6 +219,58 @@ void mf_reassign_edges(int32_t* labels, const float* depth,
   }
 }
 
+// One pass over the label image computing every per-component histogram
+// MfSegmentation needs (the numpy formulation is one 307200-element
+// bincount per table): component x projected-model counts, component x
+// mask-index counts.  comp_model is (n_comp, nm) int32, overlap is
+// (n_comp, n_masks) int32 (untouched when n_masks < 2); id_to_index maps
+// raw projected ids (uint8) to model rows.
+void mf_label_stats(const int32_t* labels, const uint8_t* proj_ids,
+                    const int32_t* id_to_index, const uint8_t* mask,
+                    int64_t n, int32_t nm, int32_t n_masks,
+                    int32_t* comp_model, int32_t* overlap) {
+  if (n_masks >= 2) {
+    const int32_t mmax = n_masks - 1;
+    for (int64_t i = 0; i < n; ++i) {
+      const int32_t c = labels[i];
+      ++comp_model[static_cast<int64_t>(c) * nm + id_to_index[proj_ids[i]]];
+      int32_t m = mask[i];
+      if (m > mmax) m = mmax;
+      ++overlap[static_cast<int64_t>(c) * n_masks + m];
+    }
+  } else {
+    for (int64_t i = 0; i < n; ++i) {
+      ++comp_model[static_cast<int64_t>(labels[i]) * nm +
+                   id_to_index[proj_ids[i]]];
+    }
+  }
+}
+
+// Model-row x segmentation-label overlap histogram (one combined-key
+// bincount in numpy): mmo is (nm, 256) int32.
+void mf_model_seg_overlap(const uint8_t* seg, const uint8_t* proj_ids,
+                          const int32_t* id_to_index, int64_t n,
+                          int32_t* mmo) {
+  for (int64_t i = 0; i < n; ++i) {
+    ++mmo[static_cast<int64_t>(id_to_index[proj_ids[i]]) * 256 + seg[i]];
+  }
+}
+
+// Per-label depth moments over valid (depth > 0) pixels (replaces a
+// boolean-index copy + three weighted bincounts).  cnt/s1/s2 are 256-wide.
+void mf_depth_moments(const uint8_t* seg, const float* depth, int64_t n,
+                      int64_t* cnt, double* s1, double* s2) {
+  for (int64_t i = 0; i < n; ++i) {
+    const float d = depth[i];
+    if (d > 0.0f) {
+      const uint8_t s = seg[i];
+      ++cnt[s];
+      s1[s] += d;
+      s2[s] += static_cast<double>(d) * d;
+    }
+  }
+}
+
 // zlib inflate for klg depth payloads (KlgLogReader.cpp:66-69).
 // Returns decompressed byte count or -1.
 int64_t mf_inflate(const uint8_t* src, int64_t src_len, uint8_t* dst,

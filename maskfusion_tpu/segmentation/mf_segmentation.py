@@ -40,6 +40,7 @@ class MfSegmentation:
         self.res = resolution
         H, W = resolution.height, resolution.width
         self.semantic_ignore = np.zeros((H, W), np.uint8)
+        self._ignore_any = False
         cfg = config
 
         from maskfusion_tpu.ops import dispatch, pallas_kernels
@@ -93,14 +94,22 @@ class MfSegmentation:
             _edge, nonedge = self._edge_binary(vmap, nmap)
         nonedge = np.asarray(nonedge)
 
-        # ---- person-ignore map (MfSegmentation.cpp:221-235) ----
+        # ---- person-ignore map (MfSegmentation.cpp:221-235).  The
+        # full-image passes only run when a person mask exists (or one
+        # persists from the last masked frame) ----
         if n_masks:
-            mask_classes = np.zeros(256, np.int32)
-            mask_classes[: len(class_ids)] = class_ids
-            is_person = mask_classes[mask] == cfg.person_class_id
-            self.semantic_ignore = np.where(is_person, 255, 0).astype(np.uint8)
-            nonedge = nonedge & ~is_person
-        else:
+            if cfg.person_class_id in class_ids:
+                mask_classes = np.zeros(256, np.int32)
+                mask_classes[: len(class_ids)] = class_ids
+                is_person = mask_classes[mask] == cfg.person_class_id
+                self.semantic_ignore = np.where(
+                    is_person, 255, 0).astype(np.uint8)
+                self._ignore_any = bool(is_person.any())
+                nonedge = nonedge & ~is_person
+            elif self._ignore_any:
+                self.semantic_ignore = np.zeros((H, W), np.uint8)
+                self._ignore_any = False
+        elif self._ignore_any:
             nonedge = nonedge & (self.semantic_ignore == 0)
 
         # ---- connected components + edge reassignment (:239-291) ----
@@ -132,21 +141,39 @@ class MfSegmentation:
         # image — the reference's per-component loops (MfSegmentation.cpp
         # :306-344,:496-522) are O(n_comp * H * W) in numpy and measured
         # ~110 ms/frame on textured scenes with ~2.5k components.
-        lab_flat = labels.ravel()   # int32; keys stay well below 2**31
+        from maskfusion_tpu import cpp as native
+
+        lib = native.load()
+        lab_flat = np.ascontiguousarray(labels).ravel()
+        proj_flat = np.ascontiguousarray(projected_ids).ravel()
+        mask_flat = np.ascontiguousarray(mask).ravel()
         nm = max(n_models, 1)
-        comp_model = np.bincount(
-            lab_flat * np.int32(nm) + id_to_index[projected_ids].ravel(),
-            minlength=n_comp * nm).reshape(n_comp, nm)
+        overlap = None
+        if lib is not None:
+            # ONE native pass fills both per-component histograms
+            comp_model = np.zeros((n_comp, nm), np.int32)
+            if n_masks > 1:
+                overlap = np.zeros((n_comp, n_masks), np.int32)
+            lib.mf_label_stats(
+                lab_flat, proj_flat, id_to_index, mask_flat,
+                lab_flat.size, nm, n_masks, comp_model.reshape(-1),
+                (overlap if overlap is not None
+                 else np.zeros(1, np.int32)).reshape(-1))
+        else:
+            comp_model = np.bincount(
+                lab_flat * np.int32(nm) + id_to_index[proj_flat],
+                minlength=n_comp * nm).reshape(n_comp, nm)
+            if n_masks > 1:
+                overlap = np.bincount(
+                    lab_flat * np.int32(n_masks)
+                    + mask_flat.clip(0, n_masks - 1).astype(np.int32),
+                    minlength=n_comp * n_masks).reshape(n_comp, n_masks)
         csizes = comp_model.sum(1)   # component sizes fall out for free
 
         # ---- component <-> mask overlap, 0.65 rule (:310-344) ----
         map_comp_to_mask = np.zeros(n_comp, np.int32)
         mask_pixels = np.zeros(max(n_masks, 1), np.int64)
         if n_masks > 1:
-            overlap = np.bincount(
-                lab_flat * np.int32(n_masks)
-                + mask.ravel().clip(0, n_masks - 1).astype(np.int32),
-                minlength=n_comp * n_masks).reshape(n_comp, n_masks)
             # at most ONE mask can hold > 65% of a component, so the
             # first-hit of the reference loop == the argmax here
             cand = overlap[:, 1:]
@@ -163,7 +190,8 @@ class MfSegmentation:
             mask_pixels[0] = 0
 
         seg = map_comp_to_mask[labels].astype(np.uint8)
-        seg[self.semantic_ignore > 0] = 255
+        if self._ignore_any:
+            seg[self.semantic_ignore > 0] = 255
 
         if n_masks:
             # morphological closing of masks (:424-426)
@@ -187,10 +215,16 @@ class MfSegmentation:
             # overlap of segmentation labels with projected model ids.
             # id_to_index maps ids of non-live models to row 0, which the
             # assignment loop below never reads (j starts at 1).
-            model_mask_overlap = np.bincount(
-                id_to_index[projected_ids].ravel() * np.int32(256)
-                + seg.ravel(), minlength=n_models * 256,
-            ).reshape(n_models, 256)
+            if lib is not None:
+                model_mask_overlap = np.zeros((n_models, 256), np.int32)
+                lib.mf_model_seg_overlap(
+                    np.ascontiguousarray(seg).ravel(), proj_flat,
+                    id_to_index, seg.size, model_mask_overlap.reshape(-1))
+            else:
+                model_mask_overlap = np.bincount(
+                    id_to_index[proj_flat] * np.int32(256)
+                    + seg.ravel(), minlength=n_models * 256,
+                ).reshape(n_models, 256)
 
             min_new = cfg.seg_min_new_rel * total
             max_new = cfg.seg_max_new_rel * total
@@ -248,12 +282,20 @@ class MfSegmentation:
         # per-model depth statistics (SegmentationResult::ModelData) — one
         # set of label-bincount moments instead of a full-image scan per
         # model
-        dvalid = depth > 0
-        seg_v = seg[dvalid].astype(np.int64)
-        d_v = depth[dvalid].astype(np.float64)
-        cnt = np.bincount(seg_v, minlength=256)
-        s1 = np.bincount(seg_v, weights=d_v, minlength=256)
-        s2 = np.bincount(seg_v, weights=d_v * d_v, minlength=256)
+        if lib is not None:
+            cnt = np.zeros(256, np.int64)
+            s1 = np.zeros(256, np.float64)
+            s2 = np.zeros(256, np.float64)
+            lib.mf_depth_moments(
+                np.ascontiguousarray(seg).ravel(),
+                np.ascontiguousarray(depth).ravel(), seg.size, cnt, s1, s2)
+        else:
+            dvalid = depth > 0
+            seg_v = seg[dvalid].astype(np.int64)
+            d_v = depth[dvalid].astype(np.float64)
+            cnt = np.bincount(seg_v, minlength=256)
+            s1 = np.bincount(seg_v, weights=d_v, minlength=256)
+            s2 = np.bincount(seg_v, weights=d_v * d_v, minlength=256)
         for md in result.model_data:
             n_px = int(cnt[md.model_id])
             if n_px:
