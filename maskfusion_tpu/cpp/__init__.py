@@ -64,6 +64,8 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     lib.mf_depth_moments.restype = None
     lib.mf_depth_moments.argtypes = [
         u8p, f32p, ctypes.c_int64, i64p, f64p, f64p]
+    lib.mf_u8_bboxes.restype = None
+    lib.mf_u8_bboxes.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32, i32p]
     lib.mf_inflate.restype = ctypes.c_int64
     lib.mf_inflate.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,

@@ -271,6 +271,27 @@ void mf_depth_moments(const uint8_t* seg, const float* depth, int64_t n,
   }
 }
 
+// Per-label bounding boxes over a uint8 label image in one pass:
+// bboxes is (256, 4) int32 (top, left, bottom, right; inclusive), labels
+// absent from the image keep (h, w, -1, -1).
+void mf_u8_bboxes(const uint8_t* img, int32_t h, int32_t w,
+                  int32_t* bboxes) {
+  for (int32_t l = 0; l < 256; ++l) {
+    bboxes[l * 4 + 0] = h; bboxes[l * 4 + 1] = w;
+    bboxes[l * 4 + 2] = -1; bboxes[l * 4 + 3] = -1;
+  }
+  for (int32_t y = 0; y < h; ++y) {
+    const uint8_t* row = img + static_cast<size_t>(y) * w;
+    for (int32_t x = 0; x < w; ++x) {
+      int32_t* bb = bboxes + row[x] * 4;
+      if (y < bb[0]) bb[0] = y;
+      if (x < bb[1]) bb[1] = x;
+      if (y > bb[2]) bb[2] = y;
+      if (x > bb[3]) bb[3] = x;
+    }
+  }
+}
+
 // zlib inflate for klg depth payloads (KlgLogReader.cpp:66-69).
 // Returns decompressed byte count or -1.
 int64_t mf_inflate(const uint8_t* src, int64_t src_len, uint8_t* dst,

@@ -1224,23 +1224,9 @@ class MaskFusion:
         model.last_bucket = b
         return b
 
-    def _object_window(self, model: Model, seg: np.ndarray):
-        """Choose the (oy, ox) origin of the model's static processing
-        window from its current mask + margin (host side, numpy).  Returns
-        None when the mask doesn't fit — callers fall back to full-frame
-        passes.  An empty mask keeps the previous window (the object is
-        briefly unseen; its surfels still project near it)."""
+    def _window_from_bbox(self, y0, x0, y1, x1):
         OW = self._obj_window
-        if not OW:
-            return None
         H, W = self.res.height, self.res.width
-        sel = seg == model.model_id
-        ys = sel.any(axis=1)
-        if not ys.any():
-            return model.window
-        xs = sel.any(axis=0)
-        y0, y1 = np.flatnonzero(ys)[[0, -1]]
-        x0, x1 = np.flatnonzero(xs)[[0, -1]]
         m = self.cfg.object_window_margin
         if (y1 - y0 + 1) + 2 * m > OW or (x1 - x0 + 1) + 2 * m > OW:
             return None
@@ -1248,9 +1234,43 @@ class MaskFusion:
         ox = int(np.clip((x0 + x1 + 1 - OW) // 2, 0, W - OW)) & ~7
         return (oy, ox)
 
+    def _object_window(self, model: Model, seg: np.ndarray):
+        """Choose the (oy, ox) origin of the model's static processing
+        window from its current mask + margin (host side, numpy).  Returns
+        None when the mask doesn't fit — callers fall back to full-frame
+        passes.  An empty mask keeps the previous window (the object is
+        briefly unseen; its surfels still project near it)."""
+        if not self._obj_window:
+            return None
+        sel = seg == model.model_id
+        ys = sel.any(axis=1)
+        if not ys.any():
+            return model.window
+        xs = sel.any(axis=0)
+        y0, y1 = np.flatnonzero(ys)[[0, -1]]
+        x0, x1 = np.flatnonzero(xs)[[0, -1]]
+        return self._window_from_bbox(y0, x0, y1, x1)
+
     def _update_windows(self, seg: np.ndarray):
+        if not self.models[1:] or not self._obj_window:
+            return
+        from maskfusion_tpu import cpp as native
+        lib = native.load()
+        if lib is None:
+            for model in self.models[1:]:
+                model.window = self._object_window(model, seg)
+            return
+        # ONE native pass over the label image covers every model (the
+        # per-model numpy scan was ~0.6 ms x n_models per frame)
+        bb = np.empty((256, 4), np.int32)
+        segc = np.ascontiguousarray(seg)
+        lib.mf_u8_bboxes(segc.reshape(-1), seg.shape[0], seg.shape[1],
+                         bb.reshape(-1))
         for model in self.models[1:]:
-            model.window = self._object_window(model, seg)
+            y0, x0, y1, x1 = bb[model.model_id]
+            if y1 < 0:                      # label absent: keep window
+                continue
+            model.window = self._window_from_bbox(y0, x0, y1, x1)
 
     def _project_ids_all(self, time_f: float) -> jnp.ndarray:
         """Device-side GlobalProjection: all models' (depth, id) renders
