@@ -119,7 +119,7 @@ class ImageLogReader(LogReader):
         if depth.ndim == 3:
             depth = depth[..., 0].astype(np.float32)
         elif depth.dtype == np.uint16:
-            depth = depth.astype(np.float32) * 0.001
+            pass   # keep u16 mm: engine uploads raw, host_depth() converts
         else:
             depth = depth.astype(np.float32)
 

@@ -4,8 +4,9 @@ Format: int32 frame count, then per frame
   int64 timestamp | int32 depthSize | int32 rgbSize |
   depth payload (zlib-compressed uint16 mm, or raw) |
   rgb payload (JPEG, or raw 8UC3)
-Depth converts to metric float32 (x0.001).  A per-frame seek stack supports
-getPrevious/rewind (KlgLogReader.cpp:40-90)."""
+Depth stays in the u16-mm wire format (the engine uploads it raw and
+converts on device; FrameData.host_depth() gives metric float32).  A
+per-frame seek stack supports getPrevious/rewind (KlgLogReader.cpp:40-90)."""
 
 from __future__ import annotations
 
@@ -40,9 +41,11 @@ class KlgLogReader(LogReader):
             depth_raw = zlib.decompress(depth_payload)
         else:
             depth_raw = depth_payload
+        # keep the sensor wire format: the engine uploads u16 mm raw (half
+        # the bytes) and converts on device; host consumers go through
+        # FrameData.host_depth()
         depth = np.frombuffer(depth_raw, np.uint16).reshape(
-            self.height, self.width
-        ).astype(np.float32) * 0.001
+            self.height, self.width)
 
         if rgb_size > 0:
             if rgb_size != n * 3:
@@ -108,7 +111,11 @@ def write_klg(path: str, frames, compress: bool = True):
         frames = list(frames)
         f.write(struct.pack("<i", len(frames)))
         for fr in frames:
-            depth_mm = np.clip(np.round(fr.depth * 1000.0), 0, 65535).astype(np.uint16)
+            if fr.depth.dtype == np.uint16:
+                depth_mm = fr.depth
+            else:
+                depth_mm = np.clip(np.round(fr.depth * 1000.0),
+                                   0, 65535).astype(np.uint16)
             dpayload = zlib.compress(depth_mm.tobytes()) if compress \
                 else depth_mm.tobytes()
             ok, jpg = cv2.imencode(

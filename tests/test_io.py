@@ -66,7 +66,9 @@ def test_image_reader_png_depth(tmp_path):
     write_dataset(str(tmp_path), depth_fmt="png", with_masks=False)
     r = ImageLogReader(str(tmp_path), prefetch=False)
     f = r.get_next()
-    assert abs(np.median(f.depth[f.depth > 0]) - 2.0) < 0.5  # mm -> m scale
+    assert f.depth.dtype == np.uint16          # raw mm wire format
+    d = f.host_depth()
+    assert abs(np.median(d[d > 0]) - 2.0) < 0.5  # mm -> m scale
 
 
 def test_klg_roundtrip(tmp_path):
@@ -81,7 +83,9 @@ def test_klg_roundtrip(tmp_path):
     assert r.get_num_frames() == 3
     f0 = r.get_next()
     assert f0.timestamp == 0.0
-    np.testing.assert_allclose(f0.depth, frames[0].depth, atol=2e-3)  # mm quant
+    assert f0.depth.dtype == np.uint16
+    np.testing.assert_allclose(f0.host_depth(), frames[0].depth,
+                               atol=2e-3)  # mm quant
     assert np.abs(f0.rgb.astype(int) - frames[0].rgb.astype(int)).mean() < 12  # jpeg
     f1 = r.get_next()
     fb = r.get_previous()
