@@ -34,14 +34,17 @@ def connected_components(binary: np.ndarray) -> Components:
         h, w = binary.shape
         b = np.ascontiguousarray(binary.astype(np.uint8))
         labels = np.empty((h, w), np.int32)
-        max_comp = 4096
-        sizes = np.empty(max_comp, np.int32)
-        bboxes = np.empty((max_comp, 4), np.int32)
-        n = lib.mf_connected_components(b, h, w, labels.reshape(-1),
-                                        sizes, bboxes.reshape(-1), max_comp)
-        if n >= 0:
-            return Components(labels=labels, sizes=sizes[:n].copy(),
-                              bboxes=bboxes[:n].copy(), count=int(n))
+        # retry ladder: fragmented scenes (hole-ridden depth) can exceed
+        # 16k components; the worst case is a checkerboard at h*w/4 + bg
+        for max_comp in (16384, h * w // 4 + 2):
+            sizes = np.empty(max_comp, np.int32)
+            bboxes = np.empty((max_comp, 4), np.int32)
+            n = lib.mf_connected_components(
+                b, h, w, labels.reshape(-1), sizes, bboxes.reshape(-1),
+                max_comp)
+            if n >= 0:
+                return Components(labels=labels, sizes=sizes[:n].copy(),
+                                  bboxes=bboxes[:n].copy(), count=int(n))
     labels, n = ndimage.label(binary, structure=_FOUR_CONN)
     labels = labels.astype(np.int32)
     sizes = np.bincount(labels.ravel(), minlength=n + 1)

@@ -21,12 +21,13 @@ seg = create_segmenter("maskfusion", cfg, Resolution(W, H),
 
 # fake inputs: vmap/nmap from depth, projected ids with 3 models
 f = frames[4]
+fd = f.host_depth()
 import jax.numpy as jnp
 d = jnp.asarray(f.depth)
 u, v = np.meshgrid(np.arange(W), np.arange(H))
-X = (u - cx) / fx * f.depth
-Y = (v - cy) / fy * f.depth
-vmap = jnp.asarray(np.stack([X, Y, f.depth], -1).astype(np.float32))
+X = (u - cx) / fx * fd
+Y = (v - cy) / fy * fd
+vmap = jnp.asarray(np.stack([X, Y, fd], -1).astype(np.float32))
 # crude normals
 nm = np.zeros((H, W, 3), np.float32); nm[..., 2] = -1.0
 nmap = jnp.asarray(nm)
