@@ -6,13 +6,18 @@ Format: int32 frame count, then per frame
   rgb payload (JPEG, or raw 8UC3)
 Depth stays in the u16-mm wire format (the engine uploads it raw and
 converts on device; FrameData.host_depth() gives metric float32).  A
-per-frame seek stack supports getPrevious/rewind (KlgLogReader.cpp:40-90)."""
+per-frame seek stack supports getPrevious/rewind (KlgLogReader.cpp:40-90).
+
+Payload DECODE (inflate + JPEG, ~4-5 ms/frame) is prefetched one frame
+ahead on a worker thread (zlib/cv2 release the GIL), like the reference's
+disk-prefetching ImageLogReader; file reads stay on the calling thread so
+the seek stack keeps exact positions."""
 
 from __future__ import annotations
 
-import io as _io
 import struct
 import zlib
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import numpy as np
@@ -30,14 +35,22 @@ class KlgLogReader(LogReader):
         self.fp = open(file, "rb")
         (self.num_frames,) = struct.unpack("<i", self.fp.read(4))
         self._seek_stack = []
+        self._lpos = self.fp.tell()     # offset of the next unread frame
+        self._pool: Optional[ThreadPoolExecutor] = None
+        self._pre = None                # (offset, end_offset, future)
 
-    def _read_frame(self) -> FrameData:
-        n = self.width * self.height
+    # ------------------------------------------------------------- decode
+    def _read_raw(self):
+        """Read one frame's bytes at the current fp position (no decode)."""
         ts, depth_size, rgb_size = struct.unpack("<qii", self.fp.read(16))
         depth_payload = self.fp.read(depth_size)
         rgb_payload = self.fp.read(rgb_size) if rgb_size > 0 else b""
+        return ts, depth_payload, rgb_payload
 
-        if depth_size != n * 2:
+    def _decode(self, raw) -> FrameData:
+        ts, depth_payload, rgb_payload = raw
+        n = self.width * self.height
+        if len(depth_payload) != n * 2:
             depth_raw = zlib.decompress(depth_payload)
         else:
             depth_raw = depth_payload
@@ -47,8 +60,8 @@ class KlgLogReader(LogReader):
         depth = np.frombuffer(depth_raw, np.uint16).reshape(
             self.height, self.width)
 
-        if rgb_size > 0:
-            if rgb_size != n * 3:
+        if rgb_payload:
+            if len(rgb_payload) != n * 3:
                 import cv2
 
                 rgb = cv2.imdecode(
@@ -63,30 +76,58 @@ class KlgLogReader(LogReader):
             rgb = np.zeros((self.height, self.width, 3), np.uint8)
         if self.flip_colors:
             rgb = rgb[..., ::-1].copy()
+        return FrameData(rgb=rgb, depth=depth, timestamp=float(ts))
 
-        self.current_frame += 1
-        return FrameData(rgb=rgb, depth=depth, timestamp=float(ts),
-                         index=self.current_frame - 1)
-
+    # ------------------------------------------------------------ reading
     def get_next(self) -> Optional[FrameData]:
         if not self.has_more():
             return None
-        self._seek_stack.append(self.fp.tell())
-        return self._read_frame()
+        self._seek_stack.append(self._lpos)
+        pre = self._pre
+        self._pre = None
+        if pre is not None and pre[0] == self._lpos:
+            fr = pre[2].result()
+            self._lpos = pre[1]
+        else:
+            self.fp.seek(self._lpos)
+            fr = self._decode(self._read_raw())
+            self._lpos = self.fp.tell()
+        self.current_frame += 1
+        fr = FrameData(rgb=fr.rgb, depth=fr.depth, timestamp=fr.timestamp,
+                       index=self.current_frame - 1)
+        # prefetch: read the next frame's bytes now, decode on the worker
+        if self.has_more():
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="klg-decode")
+            self.fp.seek(self._lpos)
+            raw = self._read_raw()
+            self._pre = (self._lpos, self.fp.tell(),
+                         self._pool.submit(self._decode, raw))
+        return fr
 
     def get_previous(self) -> FrameData:
+        """Re-read the frame just returned; the NEXT get_next continues
+        forward (KlgLogReader.cpp getPrevious semantics — current_frame is
+        net-unchanged)."""
         assert self._seek_stack
+        self._pre = None
         self.fp.seek(self._seek_stack.pop())
-        self.current_frame -= 1
-        return self._read_frame()
+        fr = self._decode(self._read_raw())
+        self._lpos = self.fp.tell()
+        return FrameData(rgb=fr.rgb, depth=fr.depth, timestamp=fr.timestamp,
+                         index=self.current_frame - 1)
 
     def fast_forward(self, frame: int):
         """Skip frames without decoding payloads."""
+        self._pre = None
+        self.fp.seek(self._lpos)
         while self.current_frame < frame and self.has_more():
             self._seek_stack.append(self.fp.tell())
             _, depth_size, rgb_size = struct.unpack("<qii", self.fp.read(16))
             self.fp.seek(depth_size + max(rgb_size, 0), 1)
             self.current_frame += 1
+        self._lpos = self.fp.tell()
 
     def has_more(self) -> bool:
         return self.current_frame + 1 < self.num_frames
@@ -95,16 +136,24 @@ class KlgLogReader(LogReader):
         return self.num_frames
 
     def rewind(self) -> bool:
-        self.fp.seek(4)
+        self._pre = None
+        self._lpos = 4
         self.current_frame = 0
         self._seek_stack.clear()
         return True
 
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+        self.fp.close()
+
 
 def write_klg(path: str, frames, compress: bool = True):
     """Writer (for tests and dataset conversion — the reference points at
-    external klg tools; having both directions makes the format round-trip
-    testable)."""
+    prerecorded .klg logs).  Depth is zlib u16-mm, RGB is JPEG when
+    `compress` (matching the payload kinds KlgLogReader.cpp:60-78 expects).
+    """
     import cv2
 
     with open(path, "wb") as f:
