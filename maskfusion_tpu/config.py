@@ -32,12 +32,38 @@ class Config:
     use_so3: bool = True                       # -nso disables
     so3_iterations: int = 10
     icp_weight: float = 10.0                   # -i (CLI default 10; GUI shows 20)
-    # Object models track ICP-only by default.  For a small object the
-    # photometric term's (tx, ry) translation/rotation ambiguity (narrow
-    # effective FOV) injects large spurious motion into the blend — the
-    # reference uses one weight for all models and inherits that noise; we
-    # separate the weights (>=100 disables the RGB term, RGBDOdometry.cpp:237).
-    object_icp_weight: float = 100.0
+    # Object models blend ICP + photometric at the same weight as the
+    # global model (the reference uses one weight for all models,
+    # RGBDOdometry.cpp:237).  ICP-ONLY object tracking (weight >= 100,
+    # the round-2 default) is degenerate in-plane on near-planar objects:
+    # the parity sequence's patch SLID ~1.3 cm/frame with only the patch
+    # boundary resisting, and the outcome flipped with backend codegen
+    # (object displacement error 107 cm on 1-device XLA:CPU vs 7 cm on
+    # 8-device; 0.4 cm with the blend).  The (tx, ry) photometric
+    # ambiguity that motivated ICP-only was an artefact of the
+    # half-texel pyramid misregistration fixed in round 2.
+    object_icp_weight: float = 10.0
+    # Levenberg-style damping for OBJECT GN solves only (relative to
+    # trace(A)/6): small objects routinely present ill-conditioned systems
+    # (planar patches leave ICP's in-plane directions unconstrained; a
+    # narrow effective FOV couples tx with ry photometrically), and the
+    # undamped solve absorbs noise into exactly those directions.  0
+    # disables (reference behaviour).
+    object_gn_damping: float = 0.0
+    # Photometric term at the FINEST pyramid level only for objects (a
+    # small object's coarse photometric systems are few-pixel and
+    # ill-conditioned — a 47-pixel level-2 term proposed 0.11 m from 4 mm
+    # of true motion).  Off by default: sequence-level parity needs the
+    # coarse levels' large-motion capture (object displacement error
+    # 0.3 cm with them vs divergence without); enable for scenes
+    # dominated by static objects under camera motion.
+    object_rgb_finest_only: bool = False
+    # Warm-start object GN at "world-static" (previous object pose
+    # composed with the global camera delta, Model.h:264's makeStatic
+    # geometry).  Cuts static-object drift ~6x but measurably lags truly
+    # moving objects (parity displacement 0.3 -> 4.8 cm), so off by
+    # default — the reference also starts from the model's own pose.
+    object_warm_start: bool = False
     rgb_only: bool = False
     frame_to_frame_rgb: bool = False           # -ftf
     # Frozen-association GN: refresh the projective correspondence search
@@ -60,6 +86,12 @@ class Config:
     # land one frame later.  Falls back to the synchronous path when
     # relocalisation/close_loops are on or gt poses are supplied.
     pipelined_multiobject: bool = True
+    # fuse frame t with frame t-1's segmentation so the device never idles
+    # while the host segments (the reference tolerates mask lag by design:
+    # the Mask R-CNN delay queue budget is 30 frames, MainController.cpp:223).
+    # Off = fuse waits for the current frame's segmentation (exact
+    # sequential dataflow).
+    fuse_mask_lag: bool = True
     dist_threshold: float = 0.10               # m, RGBDOdometry.h:35
     angle_threshold_sine: float = 0.34202      # sin(20deg), RGBDOdometry.h:36
     max_depth_delta_rgb: float = 0.07          # RGBDOdometry.cpp:33

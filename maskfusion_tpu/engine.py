@@ -99,6 +99,9 @@ class Model:
                               # -1 = unknown, fall back to a blocking fetch
     window: Optional[tuple] = None  # (oy, ox) object-window origin, or None
                                     # when the mask doesn't fit the window
+    fused_once: bool = False  # first-fuse weight boost applied yet?  (age
+                              # alone breaks under fuse_mask_lag: a spawned
+                              # model's first fuse lands one frame later)
 
     @property
     def surfel_count(self) -> int:
@@ -236,7 +239,13 @@ class MaskFusion:
         self._preprocess = preprocess
 
         def track(state: MapState, prep: Preprocessed, mask_id,
-                  is_object: bool = False):
+                  is_object: bool = False, warm=None):
+            # warm: camera world-motion from the already-tracked global
+            # model; objects start the GN from "world-static" (their
+            # camera pose mirrors the global delta, Model.h:263-268's
+            # makeStatic philosophy) instead of from last frame's pose —
+            # the right prior in directions a small object cannot observe
+            pose0 = state.pose if warm is None else state.pose @ warm
             model_pyr = odo.build_model_pyramids(
                 state.pred_vmap, state.pred_nmap, state.pred_rgb,
                 state.pose, cfg.num_pyr_levels, cfg.max_depth_rgb,
@@ -244,11 +253,13 @@ class MaskFusion:
             so3_pyr = [None] * cfg.num_pyr_levels
             so3_pyr[cfg.num_pyr_levels - 1] = state.so3_intensity
             res = odo.get_incremental_transformation(
-                state.pose[:3, 3], state.pose[:3, :3],
+                pose0[:3, 3], pose0[:3, :3],
                 prep.frame_pyr, model_pyr, tuple(so3_pyr), intr,
                 rgb_only=cfg.rgb_only,
                 icp_weight=(cfg.object_icp_weight if is_object
                             else cfg.icp_weight),
+                gn_damping=(cfg.object_gn_damping if is_object else 0.0),
+                rgb_finest_only=(is_object and cfg.object_rgb_finest_only),
                 pyramid=cfg.pyramid, fast_odom=cfg.fast_odom,
                 use_so3=cfg.use_so3, mask_id=mask_id,
                 use_mask_rgb=cfg.mask_rgb_residual,
@@ -273,7 +284,7 @@ class MaskFusion:
         self._track = jax.jit(track, static_argnames=("is_object",))
 
         def track_objects(poses, pvs, pns, pcs, so3s, mask_ids,
-                          prep: Preprocessed):
+                          prep: Preprocessed, warm=None):
             """All object models in ONE vmapped dispatch (the reference
             tracks sequentially, MaskFusion.cpp:246-278; per-dispatch
             overhead makes the host loop cost ~5 ms per live object)."""
@@ -281,12 +292,15 @@ class MaskFusion:
             def one(pose, pv, pn, pc, so3i, mid):
                 model_pyr = odo.build_model_pyramids(
                     pv, pn, pc, pose, cfg.num_pyr_levels, cfg.max_depth_rgb)
+                pose0 = pose if warm is None else pose @ warm
                 so3_pyr = [None] * (cfg.num_pyr_levels - 1) + [so3i]
                 res = odo.get_incremental_transformation(
-                    pose[:3, 3], pose[:3, :3],
+                    pose0[:3, 3], pose0[:3, :3],
                     prep.frame_pyr, model_pyr, tuple(so3_pyr), intr,
                     rgb_only=cfg.rgb_only,
                     icp_weight=cfg.object_icp_weight,
+                    gn_damping=cfg.object_gn_damping,
+                    rgb_finest_only=cfg.object_rgb_finest_only,
                     pyramid=cfg.pyramid, fast_odom=cfg.fast_odom,
                     use_so3=cfg.use_so3, mask_id=mid,
                     use_mask_rgb=cfg.mask_rgb_residual,
@@ -309,7 +323,7 @@ class MaskFusion:
         self._track_objects = jax.jit(track_objects)
 
         def track_objects_win(poses, pvs, pns, pcs, so3s, mask_ids,
-                              oys, oxs, prep: Preprocessed):
+                              oys, oxs, prep: Preprocessed, warm=None):
             """Windowed object tracking: each object's GN runs on its
             static (OW, OW) crop of both pyramid sides with principal-
             point-shifted intrinsics — the object's model prediction is
@@ -349,20 +363,59 @@ class MaskFusion:
                     masks=tuple(c2(mk, lv)
                                 for lv, mk in enumerate(fp.masks)),
                 )
-                pvc = jax.lax.dynamic_slice(pv, (oy, ox, z0), (OW, OW, 3))
-                pnc = jax.lax.dynamic_slice(pn, (oy, ox, z0), (OW, OW, 3))
-                pcc = jax.lax.dynamic_slice(pc, (oy, ox, z0), (OW, OW, 3))
-                model_pyr = odo.build_model_pyramids(
+                # model pyramids build on a HALO-padded crop and trim per
+                # level: the blended photometric term reads a ~2 px blur +
+                # 2 px erosion halo around every pixel at every level, and
+                # building from a tight crop would make the coarse levels
+                # diverge from the full-frame pass at the window border
+                # (amplified by the ill-conditioned few-pixel coarse
+                # systems).  P=32 keeps 8 px of halo even at level 2.
+                P = 32
+                pads2 = ((P, P), (P, P), (0, 0))
+                pvp = jnp.pad(pv, pads2, constant_values=jnp.nan)
+                pnp = jnp.pad(pn, pads2, constant_values=jnp.nan)
+                pcp = jnp.pad(pc, pads2, constant_values=0.0)
+                S = OW + 2 * P
+                pvc = jax.lax.dynamic_slice(pvp, (oy, ox, z0), (S, S, 3))
+                pnc = jax.lax.dynamic_slice(pnp, (oy, ox, z0), (S, S, 3))
+                pcc = jax.lax.dynamic_slice(pcp, (oy, ox, z0), (S, S, 3))
+                mp_pad = odo.build_model_pyramids(
                     pvc, pnc, pcc, pose, L, cfg.max_depth_rgb)
+
+                def trim(a, lv):
+                    p = P >> lv
+                    n = OW >> lv
+                    return a[p:p + n, p:p + n]
+
+                from maskfusion_tpu.ops import reduce as red
+                model_pyr = odo.ModelPyramids(
+                    vmaps_g=tuple(trim(v, lv)
+                                  for lv, v in enumerate(mp_pad.vmaps_g)),
+                    nmaps_g=tuple(trim(nm, lv)
+                                  for lv, nm in enumerate(mp_pad.nmaps_g)),
+                    depths=tuple(trim(d, lv)
+                                 for lv, d in enumerate(mp_pad.depths)),
+                    intensities=tuple(trim(g, lv)
+                                      for lv, g in enumerate(
+                                          mp_pad.intensities)),
+                    # erosion computed on the HALO image then trimmed, so
+                    # window borders erode exactly like the full frame
+                    last_valids=tuple(
+                        trim(red.rgb_last_valid(g), lv)
+                        for lv, g in enumerate(mp_pad.intensities)),
+                )
                 lc = L - 1
                 so3c = jax.lax.dynamic_slice(
                     so3i, (oy >> lc, ox >> lc), (OW >> lc, OW >> lc))
                 so3_pyr = [None] * lc + [so3c]
+                pose0 = pose if warm is None else pose @ warm
                 res = odo.get_incremental_transformation(
-                    pose[:3, 3], pose[:3, :3],
+                    pose0[:3, 3], pose0[:3, :3],
                     fpc, model_pyr, tuple(so3_pyr), _intr_shift(oy, ox),
                     rgb_only=cfg.rgb_only,
                     icp_weight=cfg.object_icp_weight,
+                    gn_damping=cfg.object_gn_damping,
+                    rgb_finest_only=cfg.object_rgb_finest_only,
                     pyramid=cfg.pyramid, fast_odom=cfg.fast_odom,
                     use_so3=cfg.use_so3, mask_id=mid,
                     use_mask_rgb=cfg.mask_rgb_residual,
@@ -783,6 +836,8 @@ class MaskFusion:
             1.2 MB ids image (async-copied) fetched in ~0 ms."""
             prep = preprocess(rgb, depth, prev_seg)
             tr = track(glob_state, prep, jnp.uint8(0))
+            warm = (se3.pose_inverse(glob_state.pose) @ tr.pose
+                    if cfg.object_warm_start else None)
             cov = jnp.max(tr.cov_diag)
             n_obj = len(obj_states)
             obj_mids = obj_aux[:, 0].astype(jnp.uint8)
@@ -794,7 +849,7 @@ class MaskFusion:
                     jnp.stack([s.pred_rgb for s in obj_states]),
                     jnp.stack([s.so3_intensity for s in obj_states]),
                     obj_mids, obj_aux[:, 1].astype(jnp.int32),
-                    obj_aux[:, 2].astype(jnp.int32), prep)
+                    obj_aux[:, 2].astype(jnp.int32), prep, warm)
             elif n_obj:
                 new_poses, jumps = track_objects(
                     jnp.stack([s.pose for s in obj_states]),
@@ -802,7 +857,7 @@ class MaskFusion:
                     jnp.stack([s.pred_nmap for s in obj_states]),
                     jnp.stack([s.pred_rgb for s in obj_states]),
                     jnp.stack([s.so3_intensity for s in obj_states]),
-                    obj_mids, prep)
+                    obj_mids, prep, warm)
             else:
                 new_poses = jnp.zeros((0, 4, 4), jnp.float32)
                 jumps = jnp.zeros((0,), jnp.float32)
@@ -1067,16 +1122,20 @@ class MaskFusion:
             model.prev_pose = np.asarray(model.state.pose)
         with self.stopwatch.scope("odom"):
             if gt_pose is None:
+                glob_prev_pose = glob.state.pose
                 tr = self._track(glob.state, prep, jnp.uint8(0))
                 glob.state = glob.state._replace(pose=tr.pose)
+                warm = (self._camera_motion(glob_prev_pose, tr.pose)
+                        if cfg.object_warm_start else None)
                 cov_max = float(np.asarray(tr.cov_diag).max())
                 tracking_ok = cov_max <= self._cov_thresh
                 diag.update(icp_error=float(tr.icp_error),
                             icp_count=float(tr.icp_count))
             else:
-                glob.state = glob.state._replace(
-                    pose=jnp.asarray(gt_pose.astype(np.float32))
-                )
+                gp_new = jnp.asarray(gt_pose.astype(np.float32))
+                warm = (self._camera_motion(glob.state.pose, gp_new)
+                        if cfg.object_warm_start else None)
+                glob.state = glob.state._replace(pose=gp_new)
                 tracking_ok = True
 
             trackable = cfg.trackable_classes
@@ -1096,7 +1155,7 @@ class MaskFusion:
                 for model in tracked:
                     trm = self._track(model.state, prep,
                                       jnp.uint8(model.model_id),
-                                      is_object=True)
+                                      is_object=True, warm=warm)
                     model.state = model.state._replace(pose=trm.pose)
                     pending_jumps.append(
                         (model, jnp.linalg.norm(trm.delta[:3, 3])))
@@ -1111,7 +1170,7 @@ class MaskFusion:
                     jnp.stack([m.state.so3_intensity for m in tracked]),
                     jnp.asarray([m.model_id for m in tracked],
                                 jnp.uint8),
-                    prep,
+                    prep, warm,
                 )
                 for i, model in enumerate(tracked):
                     model.state = model.state._replace(pose=new_poses[i])
@@ -1200,6 +1259,14 @@ class MaskFusion:
         return diag
 
     # ------------------------------------------------- shared frame stages
+    @staticmethod
+    def _camera_motion(pose_prev, pose_new):
+        """prev->new camera world-motion; objects warm-start their GN at
+        pose_prev_obj @ motion ("world-static until the data says
+        otherwise", Model.h:263-268's makeStatic philosophy)."""
+        return jax.jit(lambda a, b: se3.pose_inverse(a) @ b)(
+            jnp.asarray(pose_prev), jnp.asarray(pose_new))
+
     def _bucket_for(self, model: Model) -> int:
         """Choose a model's per-frame processing bucket without forcing a
         device sync in pipelined mode: counts are prefetched asynchronously
@@ -1423,10 +1490,13 @@ class MaskFusion:
         return seg_mask_np
 
     def _dispatch_fuse(self, prep, rgb, seg_mask_np, tick: int,
-                       do_fuse: bool):
+                       do_fuse: bool, seg_tick: "int | None" = None):
         """fuse + clean + predict dispatch for all models
         (MaskFusion.cpp:539-569).  Object models go through ONE vmapped
-        dispatch when capacities match (the reference loops sequentially)."""
+        dispatch when capacities match (the reference loops sequentially).
+        `seg_tick` records which frame's segmentation seg_mask_np is (it
+        lags `tick` by one under fuse_mask_lag) so the preprocess prev_seg
+        cache stays frame-accurate."""
         cfg = self.cfg
         seg_mask = jnp.asarray(seg_mask_np)
         parity = (tick % 2 if cfg.fuse_subsample_checkerboard else None)
@@ -1452,7 +1522,7 @@ class MaskFusion:
             obj_params = jnp.asarray(np.asarray(
                 [[m.model_id, m.conf_threshold,
                   min(cfg.depth_cutoff, m.max_depth),
-                  100.0 if m.age == 0 else cfg.weight_multiplier,
+                  100.0 if not m.fused_once else cfg.weight_multiplier,
                   (m.window or (0, 0))[0], (m.window or (0, 0))[1]]
                  for m in objs], np.float32).reshape(len(objs), 6))
             new_glob, new_objs = self._pipelined_fuse_stage(
@@ -1464,14 +1534,16 @@ class MaskFusion:
             glob.state = new_glob
             for m, s in zip(objs, new_objs):
                 m.state = s
-            self._seg_dev = (tick, seg_mask)
+                m.fused_once = True
+            self._seg_dev = (seg_tick if seg_tick is not None else tick,
+                             seg_mask)
             return
         batch_objs = (len(objs) >= 2 and cfg.batch_object_tracking
                       and len({m.state.map.capacity for m in objs}) == 1)
         for model in fuse_models:
             if batch_objs and model.model_id != 0:
                 continue
-            is_new = model.age == 0 and model.model_id != 0
+            is_new = not model.fused_once and model.model_id != 0
             wm = 100.0 if is_new else cfg.weight_multiplier
             conf_t = (cfg.conf_threshold_global if model.model_id == 0
                       else model.conf_threshold)
@@ -1486,6 +1558,7 @@ class MaskFusion:
                 bucket=self._bucket_for(model),
                 parity=parity,
             )
+            model.fused_once = True
         if batch_objs:
             bucket = max(self._bucket_for(m) for m in objs)
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
@@ -1500,13 +1573,14 @@ class MaskFusion:
                                 jnp.float32),
                     jnp.asarray([min(cfg.depth_cutoff, m.max_depth)
                                  for m in objs], jnp.float32),
-                    jnp.asarray([100.0 if (m.age == 0) else
+                    jnp.asarray([100.0 if not m.fused_once else
                                  cfg.weight_multiplier for m in objs],
                                 jnp.float32),
                     bucket=bucket, parity=parity,
                 ))
             for i, m in enumerate(objs):
                 m.state = jax.tree.map(lambda x, i=i: x[i], new_states)
+                m.fused_once = True
 
     # --------------------------------------------- pipelined multi-object
     def _track_models_device(self, prep):
@@ -1514,8 +1588,11 @@ class MaskFusion:
         stacked jump norms or None, cov-max scalar) as device arrays."""
         cfg = self.cfg
         glob = self.models[0]
+        glob_prev_pose = glob.state.pose
         tr = self._track(glob.state, prep, jnp.uint8(0))
         glob.state = glob.state._replace(pose=tr.pose)
+        warm = (self._camera_motion(glob_prev_pose, tr.pose)
+                if cfg.object_warm_start else None)
         cov = jnp.max(tr.cov_diag)
         trackable = cfg.trackable_classes
         tracked = []
@@ -1532,7 +1609,8 @@ class MaskFusion:
             js = []
             for model in tracked:
                 trm = self._track(model.state, prep,
-                                  jnp.uint8(model.model_id), is_object=True)
+                                  jnp.uint8(model.model_id), is_object=True,
+                                  warm=warm)
                 model.state = model.state._replace(pose=trm.pose)
                 js.append(jnp.linalg.norm(trm.delta[:3, 3]))
             jump_stack = jnp.stack(js)
@@ -1544,7 +1622,7 @@ class MaskFusion:
                 jnp.stack([m.state.pred_rgb for m in tracked]),
                 jnp.stack([m.state.so3_intensity for m in tracked]),
                 jnp.asarray([m.model_id for m in tracked], jnp.uint8),
-                prep,
+                prep, warm,
             )
             for i, model in enumerate(tracked):
                 model.state = model.state._replace(pose=new_poses[i])
@@ -1589,6 +1667,10 @@ class MaskFusion:
                 self.last_segmentation
                 if self.last_segmentation is not None
                 else np.zeros((self.res.height, self.res.width), np.uint8))
+            if self.last_segmentation is not None:
+                # the lagged fuse dispatch in _finish_pipe reuses this
+                # device copy instead of re-uploading the same mask
+                self._seg_dev = (self.tick - 1, prev_seg)
         glob = self.models[0]
         objs = self.models[1:]
         trackable = cfg.trackable_classes
@@ -1708,16 +1790,32 @@ class MaskFusion:
                 if (float(jump) > cfg.model_deactivate_jump
                         and model in self.models):
                     self._inactivate_model(model, "movement")
+        do_fuse = tracking_ok and not self.lost and not cfg.rgb_only
+        # fuse_mask_lag: dispatch fuse(t) NOW with seg(t-1) so the device
+        # chews on it while the host segments frame t — without the lag the
+        # device queue is drained here and idles for the whole host
+        # segmentation (the reference tolerates far larger mask lag: the
+        # NN delay-queue budget is 30 frames, MainController.cpp:223)
+        lag = cfg.fuse_mask_lag and self.last_segmentation is not None
+        if lag:
+            seg_for_fuse = self.last_segmentation
+            sc = getattr(self, "_seg_dev", None)
+            if sc is not None and sc[0] == tick - 1:
+                seg_for_fuse = sc[1]   # already on device (preprocess's
+                                       # prev_seg upload) — skip re-upload
+            with self.stopwatch.scope("fuse"):
+                self._dispatch_fuse(P["prep"], P["rgb"], seg_for_fuse,
+                                    tick, do_fuse, seg_tick=tick - 1)
         with self.stopwatch.scope("fetch_ids"):
             ids = np.asarray(P["ids"])
         with self.stopwatch.scope("segmentation"):
             seg_mask_np = self._segment_and_update_models(
                 P["frame"], P["prep"], P["rgb"], ids,
                 nonedge=P["nonedge"], tick=tick)
-        do_fuse = tracking_ok and not self.lost and not cfg.rgb_only
-        with self.stopwatch.scope("fuse"):
-            self._dispatch_fuse(P["prep"], P["rgb"], seg_mask_np, tick,
-                                do_fuse)
+        if not lag:
+            with self.stopwatch.scope("fuse"):
+                self._dispatch_fuse(P["prep"], P["rgb"], seg_mask_np, tick,
+                                    do_fuse)
         self._np_glob_pose = None
         for model in self.models:
             model.age += 1

@@ -79,6 +79,21 @@ def rgb_static_valid(
     return ok & interior & has_grad & jnp.isfinite(next_depth)
 
 
+def rgb_last_valid(last_image: jnp.ndarray) -> jnp.ndarray:
+    """Model-side validity erosion (iteration-invariant; hoist out of the
+    GN loop): True where the 4x4 neighbourhood of the LAST image is all
+    nonzero — see compute_rgb_residual for why boundary-contaminated model
+    pixels must not feed the photometric term."""
+    H, W = last_image.shape
+    lv = last_image > 0
+    lv_pad = jnp.pad(lv, 2, constant_values=False)
+    l_ok = jnp.ones((H, W), bool)
+    for dy in (-2, -1, 0, 1):
+        for dx in (-2, -1, 0, 1):
+            l_ok = l_ok & lv_pad[2 + dy: 2 + dy + H, 2 + dx: 2 + dx + W]
+    return l_ok
+
+
 class GNTerm(NamedTuple):
     A: jnp.ndarray          # (6,6) or (3,3)
     b: jnp.ndarray          # (6,) or (3,)
@@ -253,6 +268,7 @@ def compute_rgb_residual(
     next_mask: Optional[jnp.ndarray] = None,
     mask_id: Optional[jnp.ndarray] = None,
     static_valid: Optional[jnp.ndarray] = None,
+    last_valid: Optional[jnp.ndarray] = None,
 ) -> RGBCorrespondences:
     """Dense photometric correspondence search (RGBResidual, reduce.cu:811-891).
 
@@ -277,14 +293,28 @@ def compute_rgb_residual(
     v0 = jnp.round(v0f).astype(jnp.int32)
     in_b = (u0 >= 0) & (v0 >= 0) & (u0 < W) & (v0 < H)
 
-    # one 2-wide row-gather for (depth, intensity) at the warped pixel
+    # Model-side validity erosion: a small model's intensity image is a
+    # patch in a zero canvas, and the pyramid's tent resize BLEEDS the zero
+    # background into boundary pixels at coarse levels — warped samples
+    # there pass the li != 0 gate with darkened values and bias the
+    # photometric term (measured: a static 40x45 px object absorbed 2.4 cm
+    # of spurious motion in one frame).  Drop warped samples whose 4x4
+    # neighbourhood in the LAST image contains invalid pixels — the mirror
+    # of the next-side erosion the reference applies (reduce.cu:829-841).
+    if last_valid is None:
+        last_valid = rgb_last_valid(last_image)
+    l_ok = last_valid
+
+    # one 3-wide row-gather for (depth, intensity, validity) at the warp
     di_packed = jnp.stack(
-        [last_depth, last_image.astype(jnp.float32)], axis=-1)
-    di = _gather2d(di_packed, v0.reshape(-1), u0.reshape(-1)).reshape(H, W, 2)
+        [last_depth, last_image.astype(jnp.float32),
+         l_ok.astype(jnp.float32)], axis=-1)
+    di = _gather2d(di_packed, v0.reshape(-1), u0.reshape(-1)).reshape(H, W, 3)
     d0 = di[..., 0]
     li = di[..., 1]
 
-    depth_ok = (d0 > 0) & (jnp.abs(td1 - d0) <= max_depth_delta) & (li != 0)
+    depth_ok = ((d0 > 0) & (jnp.abs(td1 - d0) <= max_depth_delta)
+                & (di[..., 2] > 0.5))
     valid = static_valid & in_b & depth_ok
 
     diff = next_image.astype(jnp.float32) - li

@@ -48,6 +48,10 @@ class ModelPyramids(NamedTuple):
     nmaps_g: Tuple[jnp.ndarray, ...]
     depths: Tuple[jnp.ndarray, ...]      # NaN-invalid predicted depth
     intensities: Tuple[jnp.ndarray, ...]
+    # optional precomputed photometric validity (reduce.rgb_last_valid);
+    # the windowed object path supplies it from halo-padded images so
+    # window-border erosion matches the full-frame pass
+    last_valids: Optional[Tuple[jnp.ndarray, ...]] = None
 
 
 class OdometryResult(NamedTuple):
@@ -206,6 +210,8 @@ def get_incremental_transformation(
     translation_jump_limit: float = 0.3,
     num_levels: int = 3,
     assoc_period: int = 1,
+    gn_damping: float = 0.0,
+    rgb_finest_only: bool = False,
 ) -> OdometryResult:
     """One tracking solve. Structure mirrors RGBDOdometry.cpp:227-497.
 
@@ -315,6 +321,14 @@ def get_incremental_transformation(
         K_invj = jnp.asarray(K_inv)
         il = intr.level(lvl)
         min_scale = (min_grad_magnitudes[lvl] ** 2) / (sobel_scale ** 2)
+        # rgb_finest_only: small-object photometrics are boundary-dominated
+        # at coarse levels (a 40x45 px patch is ~10x11 at level 2, nearly
+        # all within the erosion band) — measured 1.7-2.4 cm of spurious
+        # motion injected in ONE frame by the coarse levels on a STATIC
+        # object.  Keep the photometric term at the finest level only;
+        # coarse levels stay point-to-plane ICP.
+        use_rgb = (rgb_only or icp_weight < 100) and (
+            lvl == 0 or not rgb_finest_only)
 
         # iteration-invariant precomputes (the reference redoes these every
         # GN iteration): packed model maps + the static RGB validity gates
@@ -326,10 +340,15 @@ def get_incremental_transformation(
             next_mask=frame.masks[lvl] if use_mask_rgb else None,
             mask_id=mask_id if use_mask_rgb else None,
         ) if use_rgb else None
+        last_valid = (model.last_valids[lvl]
+                      if model.last_valids is not None
+                      else red.rgb_last_valid(
+                          model.intensities[lvl])) if use_rgb else None
 
         def body(j, carry, lvl=lvl, Kj=Kj, K_invj=K_invj, il=il,
                  min_scale=min_scale, vn_packed=vn_packed,
-                 static_valid=static_valid, frozen=None):
+                 static_valid=static_valid, last_valid=last_valid,
+                 frozen=None):
             (result_rt, t_curr, R_curr, last_rgb_error, lastA, lastb,
              icp_error, icp_count, rgb_error, rgb_count, done) = carry
 
@@ -343,7 +362,7 @@ def get_incremental_transformation(
                     model.depths[lvl], frame.depths[lvl],
                     model.intensities[lvl], frame.intensities[lvl],
                     krk_inv, kt, min_scale, max_depth_delta_rgb,
-                    static_valid=static_valid,
+                    static_valid=static_valid, last_valid=last_valid,
                 )
                 tmp_error = jnp.sqrt(corres.sigma_sum) / jnp.maximum(corres.count, 1.0)
                 sigma_val = jnp.where(tmp_error == 0, 1.0, corres.count)
@@ -404,6 +423,18 @@ def get_incremental_transformation(
             else:
                 A, b = rgb_term.A, rgb_term.b
 
+            if gn_damping > 0:
+                # Levenberg-style zero-step prior: a small object's GN
+                # systems are few-pixel and ill-conditioned (measured: a
+                # 47-pixel level-2 photometric term proposed 0.11 m from
+                # 4 mm of true motion), so noise explodes along their weak
+                # directions.  Damping suppresses noise steps while strong
+                # (true-motion) signal passes.  Used by the static-scene
+                # object configuration (Config.object_gn_damping); the
+                # default is 0 = the reference's plain GN
+                # (RGBDOdometry.cpp:227-497).
+                lam = gn_damping * (jnp.trace(A) / 6.0)
+                A = A + lam * jnp.eye(6, dtype=A.dtype)
             x = se3.solve_6x6_ldlt(A, b)
             new_result_rt = se3.se3_exp_update(result_rt, x)
 
@@ -467,7 +498,7 @@ def get_incremental_transformation(
                         model.depths[lvl], frame.depths[lvl],
                         model.intensities[lvl], frame.intensities[lvl],
                         krk_inv, kt, min_scale, max_depth_delta_rgb,
-                        static_valid=static_valid,
+                        static_valid=static_valid, last_valid=last_valid,
                     )
                     tmp_error = jnp.sqrt(corres.sigma_sum) / jnp.maximum(
                         corres.count, 1.0)

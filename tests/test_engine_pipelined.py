@@ -16,7 +16,8 @@ from maskfusion_tpu.frame import FrameData
 from tests import synthetic as syn
 
 
-def run(pipelined: bool, n_frames: int = 6, object_window: int = 0):
+def run(pipelined: bool, n_frames: int = 6, object_window: int = 0,
+        mask_lag: bool = False):
     cfg = Config(
         global_surfel_capacity=1 << 16,
         object_surfel_capacity=1 << 13,
@@ -25,7 +26,10 @@ def run(pipelined: bool, n_frames: int = 6, object_window: int = 0):
         model_spawn_offset=0,
         pipelined_multiobject=pipelined,
         object_window=object_window,
-        object_window_margin=8,
+        object_window_margin=24,
+        # exact sequential dataflow for the equality tests; the lag variant
+        # is exercised by test_mask_lag_tracks_object
+        fuse_mask_lag=mask_lag,
     )
     eng = MaskFusion(Resolution(syn.W, syn.H), syn.DEFAULT_INTR, cfg)
     for i in range(n_frames):
@@ -45,8 +49,10 @@ def test_pipelined_matches_sync():
     assert [m.model_id for m in e_pipe.models] == \
            [m.model_id for m in e_sync.models]
     for mp, ms in zip(e_pipe.models, e_sync.models):
+        # 5e-5: the two schedules group the same ops into different jit
+        # programs, and XLA:CPU fusion differences produce f32 jitter
         np.testing.assert_allclose(np.asarray(mp.state.pose),
-                                   np.asarray(ms.state.pose), atol=1e-5)
+                                   np.asarray(ms.state.pose), atol=5e-5)
         assert abs(mp.surfel_count - ms.surfel_count) <= 2, (
             mp.model_id, mp.surfel_count, ms.surfel_count)
 
@@ -59,6 +65,22 @@ def test_pipelined_spawns_and_tracks_object():
     assert np.asarray(est)[0] > 0.005   # object moved along +x
 
 
+def test_mask_lag_tracks_object():
+    """fuse_mask_lag fuses frame t with seg(t-1) (device never idles during
+    host segmentation).  One frame of mask lag must not break spawning or
+    object tracking."""
+    eng = run(True, n_frames=8, mask_lag=True)
+    assert len(eng.models) >= 2
+    obj = eng.models[1]
+    assert obj.fused_once                      # lagged first fuse landed
+    assert obj.surfel_count > 50               # object map populated
+    est = obj.pose_log[-1]["pose"][:3, 3]
+    assert np.asarray(est)[0] > 0.005          # object motion recovered
+    # global map unharmed by the lagged masks
+    glob = eng.models[0]
+    assert glob.surfel_count > 1000
+
+
 def test_windowed_objects_match_full_frame():
     """Object-window passes (engine.fuse_clean_predict_obj_win: static
     (OW,OW) crops with principal-point-shifted intrinsics) must reproduce
@@ -66,8 +88,12 @@ def test_windowed_objects_match_full_frame():
     mask + margin, so fuse/clean/predict see the same pixels.  The
     reference runs every model full-frame (MaskFusion.cpp:539-569); the
     window is the TPU redesign that makes small objects cheap."""
+    # margin 24 mirrors production geometry (default 32 at VGA): the
+    # photometric gates read a ~6 px halo at the coarsest level, so the
+    # mask must stay >= 24 px inside the window for the windowed pass to
+    # reproduce full-frame results under the blended tracker
     e_full = run(True, object_window=0)
-    e_win = run(True, object_window=80)
+    e_win = run(True, object_window=104)
     assert [m.model_id for m in e_win.models] == \
            [m.model_id for m in e_full.models]
     assert len(e_win.models) >= 2
