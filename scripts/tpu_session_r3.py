@@ -29,4 +29,9 @@ if __name__ == "__main__":
     run("bench", [sys.executable, "bench.py"], 2400)
     run("nn_latency", [sys.executable, "scripts/tpu_nn_latency.py"], 1800)
     run("probe_r4", [sys.executable, "scripts/tpu_probe_r4.py"], 2400)
+    run("parity_vga", [sys.executable, "scripts/parity_vga.py"], 3600)
     print("session complete; log at", LOG, flush=True)
+
+# appended: VGA parity re-run (object tracking changed in round 3)
+# run manually if the unattended session has time:
+#   timeout 3600 python scripts/parity_vga.py >> /tmp/tpu_session_r3.log
