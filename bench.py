@@ -96,17 +96,25 @@ def bench_two_objects():
     from maskfusion_tpu.engine import MaskFusion
 
     W, H = 640, 480
-    n_warm, n_timed = 14, 16
+    n_warm, n_timed = 14, 24
     frames, (fx, fy, cx, cy) = make_two_object_frames(W, H, n_warm + n_timed)
     cfg = Config(global_surfel_capacity=1 << 22,
                  object_surfel_capacity=1 << 19,
                  seg_method="maskfusion",
                  model_spawn_offset=2,
-                 pipelined_multiobject=True)
+                 pipelined_multiobject=True,
+                 # deep prefused pipeline: host stages drain as their
+                 # prefetched results arrive; 12 frames in flight hide
+                 # multi-second device round trips on remote transports
+                 pipeline_depth=12)
     engine = MaskFusion(Resolution(W, H),
                         CameraIntrinsics(fx, fy, cx, cy), cfg)
-    for f in frames[:n_warm]:
+    for i, f in enumerate(frames[:n_warm]):
         engine.process_frame(f)
+        if i % 4 == 3:
+            # drain during warmup so spawn/window lifecycle converges and
+            # every jit variant compiles before the clock starts
+            engine.drain_pipeline()
     engine.drain_pipeline()
     n_models = len(engine.models)
 
@@ -143,7 +151,10 @@ def main():
 
     n_timed = 20
     n_warm = 8
-    frames = make_frames(W, H, n_timed + n_warm)
+    n_reps = 3          # median of 3 windows (bench-to-bench variance is
+                        # ~±0.5 FPS; a single 20-frame window is too thin a
+                        # basis for round-over-round deltas)
+    frames = make_frames(W, H, n_timed * n_reps + n_warm)
     # warmup: init + compile + one full sync.  Eight frames cover both
     # checkerboard parities AND the periodic compacting variant of the
     # fused step (tick %% DIAG_INTERVAL == 0) before timing starts.
@@ -157,17 +168,22 @@ def main():
     # host->device upload is staged one frame ahead (upload_frame) so the
     # transfer overlaps the previous frame's compute — the capture thread
     # does the same in the live readers.
-    t0 = time.perf_counter()
-    staged = engine.upload_frame(frames[n_warm])
-    for nxt in frames[n_warm + 1:]:
-        nxt_staged = engine.upload_frame(nxt)
+    fps_reps = []
+    base = n_warm
+    for rep in range(n_reps):
+        window = frames[base + rep * n_timed: base + (rep + 1) * n_timed]
+        t0 = time.perf_counter()
+        staged = engine.upload_frame(window[0])
+        for nxt in window[1:]:
+            nxt_staged = engine.upload_frame(nxt)
+            engine.process_frame(staged)
+            staged = nxt_staged
         engine.process_frame(staged)
-        staged = nxt_staged
-    engine.process_frame(staged)
-    engine.flush_diagnostics()
-    total = time.perf_counter() - t0
+        engine.flush_diagnostics()
+        total = time.perf_counter() - t0
+        fps_reps.append(n_timed / total)
 
-    fps = n_timed / total
+    fps = sorted(fps_reps)[n_reps // 2]
     line = {
         "metric": "slam_fps_640x480_static",
         "value": round(fps, 3),

@@ -86,12 +86,25 @@ class Config:
     # land one frame later.  Falls back to the synchronous path when
     # relocalisation/close_loops are on or gt poses are supplied.
     pipelined_multiobject: bool = True
-    # fuse frame t with frame t-1's segmentation so the device never idles
-    # while the host segments (the reference tolerates mask lag by design:
-    # the Mask R-CNN delay queue budget is 30 frames, MainController.cpp:223).
-    # Off = fuse waits for the current frame's segmentation (exact
-    # sequential dataflow).
+    # fuse frame t with the NEWEST segmentation already resident on device
+    # so the device never idles while the host segments (the reference
+    # tolerates mask lag by design: the Mask R-CNN delay queue budget is 30
+    # frames, MainController.cpp:223).  With this on, the multi-object
+    # pipeline runs prefused-deep: frame t's fuse is dispatched back to back
+    # with its tracking (gated device-side by the tracking covariance), and
+    # host stages (segmentation + lifecycle) drain lazily as their
+    # prefetched device results become ready — zero blocking host syncs per
+    # frame in steady state.  Off = fuse waits for the current frame's
+    # segmentation (exact sequential dataflow; one-frame pipeline).
     fuse_mask_lag: bool = True
+    # Prefused pipeline depth: max frames in flight (device results pending
+    # host-side segmentation/lifecycle) before the host force-drains with a
+    # blocking fetch.  On a local chip results are ready within ~a frame and
+    # the queue stays at 1; on high-latency remote transports the depth
+    # hides up to depth*frame_time of round-trip latency at the price of
+    # lifecycle decisions (spawn/deactivate) landing that many frames late
+    # (the reference's own NN masks lag up to 30 frames).
+    pipeline_depth: int = 4
     dist_threshold: float = 0.10               # m, RGBDOdometry.h:35
     angle_threshold_sine: float = 0.34202      # sin(20deg), RGBDOdometry.h:36
     max_depth_delta_rgb: float = 0.07          # RGBDOdometry.cpp:33

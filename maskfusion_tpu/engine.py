@@ -24,6 +24,7 @@ Pose conventions (matching the reference exactly):
 
 from __future__ import annotations
 
+import collections as _collections
 import dataclasses
 import time as _time
 from typing import Dict, List, NamedTuple, Optional
@@ -171,7 +172,7 @@ class MaskFusion:
             )
         self.new_model_listeners = []
         self.inactive_model_listeners = []
-        self._pipe = None
+        self._pending = _collections.deque()  # in-flight pipelined frames
         self._pipelined_active = False
         self._np_glob_pose = None   # numpy mirror of the tracked global
         self._seg_dev = None        # (tick, device seg) fuse-stage cache
@@ -440,7 +441,14 @@ class MaskFusion:
                                conf_threshold, max_depth, weight_multiplier,
                                allow_fill_in: bool, bucket: int,
                                parity: "int | None" = None,
-                               compact: bool = True):
+                               compact: bool = True, gate=None):
+            # gate: optional device bool scalar — the prefused pipeline
+            # dispatches fuse back to back with tracking and gates the map
+            # update on the SAME frame's tracking covariance (the reference
+            # skips fusion when tracking is bad, MaskFusion.cpp:539; the
+            # lagfuse path makes that decision host-side one frame late).
+            # When gate is False the whole fuse+clean is selected away and
+            # the predictions keep their previous values.
             pose = state.pose
             pose_inv = se3.pose_inverse(pose)
             if cfg.velocity_fusion_weight:
@@ -499,7 +507,14 @@ class MaskFusion:
                 unstable_time_limit=cfg.unstable_time_limit,
                 compact=compact,
             )
-            final_map = sm.write_back(full_map, cres.map)
+            cres_map = cres.map
+            if gate is not None:
+                # select the pre-fuse prefix back in when tracking failed:
+                # bucket-sized selects only (the untouched capacity tail is
+                # shared through write_back)
+                cres_map = jax.tree.map(
+                    lambda n, o: jnp.where(gate, n, o), cres_map, work)
+            final_map = sm.write_back(full_map, cres_map)
             # prediction reuses the post-fuse index map with clean's keep
             # mask gating the candidates (combinedPredict re-rasterises in
             # the reference; the index maps carry the same data here)
@@ -533,13 +548,21 @@ class MaskFusion:
             else:
                 pv, pn, pc = pred.vmap, pred.nmap, pred.rgb
             delta = pose_inv @ prev_pose
+            removed, appended = cres.removed, fres.map.count - work.count
+            if gate is not None:
+                # failed-tracking frames keep the previous predictions (the
+                # lagfuse path skips the whole dispatch, leaving them stale)
+                pv = jnp.where(gate, pv, state.pred_vmap)
+                pn = jnp.where(gate, pn, state.pred_nmap)
+                pc = jnp.where(gate, pc, state.pred_rgb)
+                removed = jnp.where(gate, removed, 0)
+                appended = jnp.where(gate, appended, 0)
             new_state = MapState(
                 map=final_map, pose=pose, last_delta=delta,
                 pred_vmap=pv, pred_nmap=pn, pred_rgb=pc,
                 so3_intensity=prep.frame_pyr.intensities[cfg.num_pyr_levels - 1],
             )
-            appended = fres.map.count - work.count
-            return new_state, cres.removed, appended
+            return new_state, removed, appended
 
         self._fuse_clean_predict = jax.jit(
             fuse_clean_predict, donate_argnums=(0,),
@@ -622,7 +645,8 @@ class MaskFusion:
         def fuse_clean_predict_obj_win(state: MapState, prep: Preprocessed,
                                        rgb, seg_mask, prev_pose, time,
                                        mask_id, conf_t, max_d, wm, oy, ox,
-                                       bucket: int, parity: "int | None"):
+                                       bucket: int, parity: "int | None",
+                                       gate=None):
             """Windowed OBJECT fuse+clean+predict: every image-side pass
             (index render, association, clean, coarse render, prediction)
             runs on a static (OW, OW) crop around the object's mask instead
@@ -682,7 +706,11 @@ class MaskFusion:
                 fres.map, im2, filt, seg_c, mask_id, pose_inv, intr_c,
                 time, time_delta, conf_t, max_d, cfg.outlier_coefficient,
                 unstable_time_limit=cfg.unstable_time_limit, compact=True)
-            final_map = sm.write_back(full_map, cres.map)
+            cres_map = cres.map
+            if gate is not None:
+                cres_map = jax.tree.map(
+                    lambda n, o: jnp.where(gate, n, o), cres_map, work)
+            final_map = sm.write_back(full_map, cres_map)
             idx = im2.index
             keep_img = jnp.where(
                 idx >= 0, cres.keep[jnp.clip(idx, 0)], False)
@@ -697,6 +725,10 @@ class MaskFusion:
             pn = jax.lax.dynamic_update_slice(nanc, pred.nmap, (oy, ox, z0))
             pc = jax.lax.dynamic_update_slice(
                 jnp.zeros((H, W, 3), jnp.float32), pred.rgb, (oy, ox, z0))
+            if gate is not None:
+                pv = jnp.where(gate, pv, state.pred_vmap)
+                pn = jnp.where(gate, pn, state.pred_nmap)
+                pc = jnp.where(gate, pc, state.pred_rgb)
             new_state = MapState(
                 map=final_map, pose=pose, last_delta=pose_inv @ prev_pose,
                 pred_vmap=pv, pred_nmap=pn, pred_rgb=pc,
@@ -896,7 +928,11 @@ class MaskFusion:
             # per-object poses unstacked INSIDE the graph — host-side
             # indexing of the stacked array would be one dispatch per model
             pose_tuple = tuple(new_poses[i] for i in range(n_obj))
-            return (prep, tr.pose, pose_tuple, hostvec, ids, nonedge)
+            # device-side tracking-ok gate for the prefused fuse dispatch
+            # (the host reads the same cov from hostvec, frames later)
+            okf = cov <= jnp.float32(self._cov_thresh)
+            return (prep, tr.pose, pose_tuple, hostvec, ids, nonedge,
+                    prev_poses, okf)
 
         self._pipelined_device_stage = jax.jit(
             pipelined_device_stage,
@@ -906,17 +942,20 @@ class MaskFusion:
                                  seg_mask, prev_poses, time, obj_params,
                                  glob_bucket: int, obj_bucket: int,
                                  parity: "int | None",
-                                 windowed: bool = False):
+                                 windowed: bool = False, gate=None):
             """All models' fuse+clean+predict in one graph (global + vmapped
             equal-capacity objects; MaskFusion.cpp:539-569 loops models).
             prev_poses is ONE stacked (n_models, 4, 4) array (row 0 global)
             and obj_params ONE (n_obj, 6) f32 [mask_id, conf_t, max_depth,
             weight_mult, oy, ox] — single uploads instead of a per-field
-            dispatch storm on remote transports."""
+            dispatch storm on remote transports.  `gate` (prefused pipeline)
+            is the device-side tracking-ok scalar from the same frame's
+            device stage — when False the map updates select away."""
             new_glob, _removed, _app = fuse_clean_predict(
                 glob_state, prep, rgb, seg_mask, prev_poses[0], time,
                 jnp.uint8(0), cfg.conf_threshold_global, cfg.depth_cutoff,
-                cfg.weight_multiplier, True, glob_bucket, parity, True)
+                cfg.weight_multiplier, True, glob_bucket, parity, True,
+                gate)
             if obj_states:
                 stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
                                        *obj_states)
@@ -929,7 +968,7 @@ class MaskFusion:
                             params[2], params[3],
                             params[4].astype(jnp.int32),
                             params[5].astype(jnp.int32),
-                            obj_bucket, parity)
+                            obj_bucket, parity, gate)
 
                     new_stack = jax.vmap(one_w)(
                         stacked, prev_poses[1:], obj_params)
@@ -939,7 +978,7 @@ class MaskFusion:
                             state, prep, rgb, seg_mask, prev_pose, time,
                             params[0].astype(jnp.uint8), params[1],
                             params[2], params[3], False, obj_bucket,
-                            parity, True)
+                            parity, True, gate)
                         return ns
 
                     new_stack = jax.vmap(one)(
@@ -1582,6 +1621,33 @@ class MaskFusion:
                 m.state = jax.tree.map(lambda x, i=i: x[i], new_states)
                 m.fused_once = True
 
+    def _dispatch_fuse_prefused(self, prep, rgb, seg_dev, tick: int,
+                                prev_poses_dev, gate, glob, objs,
+                                glob_bucket: int, obj_bucket: int,
+                                windowed: bool):
+        """Prefused-pipeline fuse dispatch: rides the device queue right
+        behind the same frame's device stage.  prev_poses (pre-track poses,
+        row 0 global) and the tracking-ok gate are device outputs of that
+        stage — the host supplies only the per-model scalars (lagged
+        lifecycle state, uploaded async)."""
+        cfg = self.cfg
+        parity = (tick % 2 if cfg.fuse_subsample_checkerboard else None)
+        obj_params = jnp.asarray(np.asarray(
+            [[m.model_id, m.conf_threshold,
+              min(cfg.depth_cutoff, m.max_depth),
+              100.0 if not m.fused_once else cfg.weight_multiplier,
+              (m.window or (0, 0))[0], (m.window or (0, 0))[1]]
+             for m in objs], np.float32).reshape(len(objs), 6))
+        new_glob, new_objs = self._pipelined_fuse_stage(
+            glob.state, tuple(m.state for m in objs), prep, rgb,
+            seg_dev, prev_poses_dev, float(tick), obj_params,
+            glob_bucket=glob_bucket, obj_bucket=obj_bucket,
+            parity=parity, windowed=windowed, gate=gate)
+        glob.state = new_glob
+        for m, s in zip(objs, new_objs):
+            m.state = s
+            m.fused_once = True
+
     # --------------------------------------------- pipelined multi-object
     def _track_models_device(self, prep):
         """The tracking block with ZERO host syncs: returns (tracked models,
@@ -1638,20 +1704,60 @@ class MaskFusion:
         except Exception:
             pass
 
+    @staticmethod
+    def _record_ready(P) -> bool:
+        """True when every device->host transfer the record's host stage
+        consumes has completed (non-blocking poll)."""
+        try:
+            for key in ("hostvec", "ids", "nonedge", "cov", "jumps",
+                        "counts"):
+                x = P.get(key)
+                if x is not None and not x.is_ready():
+                    return False
+            return True
+        except AttributeError:      # backend without is_ready: never defer
+            return True
+
+    def _drain_ready_pipe(self):
+        """Run host stages for every pending frame whose prefetched device
+        results are ready; force a BLOCKING drain only when the pipeline is
+        deeper than cfg.pipeline_depth (bounds lifecycle lag)."""
+        depth = max(1, int(self.cfg.pipeline_depth))
+        while self._pending:
+            if len(self._pending) < depth and not self._record_ready(
+                    self._pending[0]):
+                break
+            self._finish_one(self._pending.popleft())
+
     def _pipelined_step(self, frame: FrameData, t0: float) -> Dict:
         """Software-pipelined multi-object frame (SURVEY §3.3 hard part 6
-        applied to the WHOLE host stage, not just Mask R-CNN): frame t-1's
-        host work (segmentation, lifecycle, fuse dispatch) runs now, using
-        device results whose transfers were started last call — then frame
-        t's device work is dispatched and its transfers started.  The
-        reference's dataflow is preserved exactly (track(t) sees the map
-        fused through t-1 in both schedules); only the host-side DECISIONS
-        (spawn/deactivate) land one frame later."""
+        applied to the WHOLE host stage, not just Mask R-CNN).
+
+        Two schedules:
+        - fuse_mask_lag=False (exact): depth-1 pipeline — frame t-1's host
+          work (segmentation, lifecycle, fuse dispatch with seg(t-1)) runs
+          now, then frame t's device work is dispatched.  The reference's
+          dataflow is preserved exactly; lifecycle decisions land one frame
+          later.
+        - fuse_mask_lag=True (prefused, default): frame t's fuse is
+          dispatched back to back with its device stage, gated device-side
+          by the same frame's tracking covariance and using the NEWEST
+          device-resident segmentation; host stages drain lazily as their
+          prefetched results become ready (forced beyond pipeline_depth).
+          Zero blocking host syncs per frame in steady state — the frame
+          rate is set by device compute even when a round trip to the
+          device costs many frame times (remote transports), at the price
+          of segmentation/lifecycle lagging by up to pipeline_depth frames
+          (the reference tolerates 30 frames of mask lag by design,
+          MainController.cpp:223)."""
         cfg = self.cfg
         self._pipelined_active = True
-        # ---- host stage: finish frame t-1 ----
-        if self._pipe is not None:
-            self._finish_pipe()
+        prefused = bool(cfg.fuse_mask_lag)
+        # ---- host stage(s): finish frames whose results arrived ----
+        if prefused:
+            self._drain_ready_pipe()
+        elif self._pending:
+            self._finish_one(self._pending.popleft())
 
         # ---- device stage: frame t ----
         rgb = jnp.asarray(frame.rgb)
@@ -1659,16 +1765,19 @@ class MaskFusion:
         if depth.dtype not in (jnp.uint16, jnp.float32):  # converts)
             depth = depth.astype(jnp.float32)
         seg_cache = getattr(self, "_seg_dev", None)
-        if (seg_cache is not None and seg_cache[0] == self.tick - 1
-                and self.last_segmentation is not None):
-            prev_seg = seg_cache[1]   # device copy uploaded by last fuse
+        if (seg_cache is not None and self.last_segmentation is not None
+                and (prefused or seg_cache[0] == self.tick - 1)):
+            # newest device-resident seg (prefused: host stages re-upload
+            # after each segmentation, so the cache IS the newest; exact
+            # mode insists on seg(t-1))
+            prev_seg = seg_cache[1]
         else:
             prev_seg = jnp.asarray(
                 self.last_segmentation
                 if self.last_segmentation is not None
                 else np.zeros((self.res.height, self.res.width), np.uint8))
             if self.last_segmentation is not None:
-                # the lagged fuse dispatch in _finish_pipe reuses this
+                # the lagged fuse dispatch in _finish_one reuses this
                 # device copy instead of re-uploading the same mask
                 self._seg_dev = (self.tick - 1, prev_seg)
         glob = self.models[0]
@@ -1681,7 +1790,7 @@ class MaskFusion:
         if fused_ok:
             # ONE dispatch for the whole pre-segmentation device stage;
             # prev_pose bookkeeping and pose logging ride the hostvec
-            # (unpacked in _finish_pipe) — no per-model device copies here
+            # (unpacked in _finish_one) — no per-model device copies here
             glob_bucket = self._bucket_for(glob)
             obj_bucket = max((self._bucket_for(m) for m in objs),
                              default=1 << 16)
@@ -1692,8 +1801,8 @@ class MaskFusion:
                   (m.window or (0, 0))[1]] for m in objs],
                 np.float32).reshape(len(objs), 3))
             with self.stopwatch.scope("odom"):
-                (prep, gpose, oposes, hostvec, ids_dev,
-                 nonedge_dev) = self._pipelined_device_stage(
+                (prep, gpose, oposes, hostvec, ids_dev, nonedge_dev,
+                 prev_poses_dev, okf) = self._pipelined_device_stage(
                     glob.state, tuple(m.state for m in objs), obj_aux,
                     jnp.asarray([m.model_id for m in self.models],
                                 jnp.float32),
@@ -1706,11 +1815,19 @@ class MaskFusion:
             tracked = list(objs)
             for x in (ids_dev, nonedge_dev, hostvec):
                 self._start_async_copy(x)
-            self._pipe = dict(
+            if prefused:
+                # fuse(t) rides the device queue immediately: newest
+                # device-resident seg + device-side tracking-ok gate
+                with self.stopwatch.scope("fuse"):
+                    self._dispatch_fuse_prefused(
+                        prep, rgb, prev_seg, self.tick, prev_poses_dev,
+                        okf, glob, objs, glob_bucket, obj_bucket, windowed)
+            self._pending.append(dict(
+                kind="prefused" if prefused else "lagfuse",
                 frame=frame, prep=prep, rgb=rgb, ids=ids_dev,
                 nonedge=nonedge_dev, hostvec=hostvec,
                 tracked=tracked, tick=self.tick,
-                count_models=list(self.models))
+                count_models=list(self.models)))
         else:
             for model in self.models:
                 model.prev_pose = model.state.pose.copy()
@@ -1726,11 +1843,12 @@ class MaskFusion:
             for x in (ids_dev, nonedge_dev, cov, jump_stack, counts):
                 if x is not None:
                     self._start_async_copy(x)
-            self._pipe = dict(
+            self._pending.append(dict(
+                kind="lagfuse",
                 frame=frame, prep=prep, rgb=rgb, ids=ids_dev,
                 nonedge=nonedge_dev, cov=cov,
                 jumps=jump_stack, tracked=tracked, tick=self.tick,
-                counts=counts, count_models=list(self.models))
+                counts=counts, count_models=list(self.models)))
             self._log_poses(frame)
         out = {
             "tick": self.tick, "n_models": len(self.models),
@@ -1742,11 +1860,10 @@ class MaskFusion:
         self.stopwatch.record("Run", (_time.perf_counter() - t0) * 1000)
         return out
 
-    def _finish_pipe(self):
-        """Host stage for the pending frame: fetch prefetched device
-        results, segment, update lifecycle, dispatch fuse."""
-        P = self._pipe
-        self._pipe = None
+    def _finish_one(self, P):
+        """Host stage for one pending frame: fetch prefetched device
+        results, segment, update lifecycle, and (lagfuse records only)
+        dispatch fuse — prefused records dispatched theirs at enqueue."""
         cfg = self.cfg
         tick = P["tick"]
         models = P["count_models"]
@@ -1790,13 +1907,14 @@ class MaskFusion:
                 if (float(jump) > cfg.model_deactivate_jump
                         and model in self.models):
                     self._inactivate_model(model, "movement")
+        prefused = P.get("kind") == "prefused"
         do_fuse = tracking_ok and not self.lost and not cfg.rgb_only
-        # fuse_mask_lag: dispatch fuse(t) NOW with seg(t-1) so the device
-        # chews on it while the host segments frame t — without the lag the
-        # device queue is drained here and idles for the whole host
-        # segmentation (the reference tolerates far larger mask lag: the
-        # NN delay-queue budget is 30 frames, MainController.cpp:223)
-        lag = cfg.fuse_mask_lag and self.last_segmentation is not None
+        # fuse_mask_lag (lagfuse records): dispatch fuse(t) NOW with
+        # seg(t-1) so the device chews on it while the host segments frame
+        # t.  Prefused records dispatched fuse(t) at enqueue time with the
+        # then-newest seg and a device-side tracking gate — nothing to do.
+        lag = (not prefused and cfg.fuse_mask_lag
+               and self.last_segmentation is not None)
         if lag:
             seg_for_fuse = self.last_segmentation
             sc = getattr(self, "_seg_dev", None)
@@ -1812,7 +1930,11 @@ class MaskFusion:
             seg_mask_np = self._segment_and_update_models(
                 P["frame"], P["prep"], P["rgb"], ids,
                 nonedge=P["nonedge"], tick=tick)
-        if not lag:
+        if prefused:
+            # stage the fresh seg in HBM for the NEXT device/fuse dispatches
+            # (async upload; preprocess and fuse read whatever is newest)
+            self._seg_dev = (tick, jax.device_put(seg_mask_np))
+        elif not lag:
             with self.stopwatch.scope("fuse"):
                 self._dispatch_fuse(P["prep"], P["rgb"], seg_mask_np, tick,
                                     do_fuse)
@@ -1826,10 +1948,11 @@ class MaskFusion:
                 P["prep"].levels[0]["vmap"])
 
     def drain_pipeline(self):
-        """Finish the pending pipelined frame (call after the last
+        """Finish ALL pending pipelined frames (call after the last
         process_frame of a stream, and before inspecting map state)."""
-        if getattr(self, "_pipe", None) is not None:
-            self._finish_pipe()
+        pending = getattr(self, "_pending", None)
+        while pending:
+            self._finish_one(pending.popleft())
 
     DIAG_INTERVAL = 8
 

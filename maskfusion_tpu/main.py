@@ -106,6 +106,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--toml", dest="toml_config",
                    help="config.toml with class_names/filter_classes/"
                         "score_threshold/trackable_classes")
+    p.add_argument("--pipeline", dest="pipeline", default="prefused",
+                   choices=["prefused", "exact", "off"],
+                   help="multi-object schedule: prefused = deep pipeline "
+                        "(fuse rides the device queue gated by tracking "
+                        "covariance, host drains lazily up to "
+                        "--pipeline-depth frames late), exact = depth-1 "
+                        "pipeline preserving the reference's sequential "
+                        "dataflow, off = fully synchronous")
+    p.add_argument("--pipeline-depth", dest="pipeline_depth", type=int,
+                   default=4, help="max frames in flight before a blocking "
+                                   "drain (prefused schedule only)")
     p.add_argument("--save-state", dest="save_state",
                    help="write an engine checkpoint here after the run")
     p.add_argument("--load-state", dest="load_state",
@@ -117,6 +128,9 @@ def make_config(args):
     from maskfusion_tpu.config import Config
 
     return Config(
+        pipelined_multiobject=args.pipeline != "off",
+        fuse_mask_lag=args.pipeline == "prefused",
+        pipeline_depth=args.pipeline_depth,
         global_surfel_capacity=args.global_capacity,
         object_surfel_capacity=args.object_capacity,
         depth_cutoff=args.depth_cutoff,

@@ -1,4 +1,4 @@
-"""Profile the HOST-side segmentation stage (engine._finish_pipe's
+"""Profile the HOST-side segmentation stage (engine._finish_one's
 `segmentation` scope) on CPU: segmenter.perform + lifecycle, using the
 two-object bench scene.  This runs entirely host-side, so it can be
 measured without the TPU."""

@@ -5,11 +5,13 @@ Times the jitted forward of the DEFAULT config (ResNet50-FPN, 512 px,
 and reports milliseconds/frame plus the induced frame lag at the dataset's
 24 Hz against the 30-frame queue budget (MainController.cpp:223).
 Latency does not depend on the weights, so random-init params are fine."""
-import os
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import sys, time
 sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
+# env-var route is silently ignored (sitecustomize imports jax first)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 from maskfusion_tpu.maskrcnn.model import MaskRCNN, MaskRCNNConfig
 
 cfg = MaskRCNNConfig()

@@ -3,11 +3,13 @@
 Scalar-probe methodology (CLAUDE.md): N pipelined dispatches returning ONE
 scalar + one final device_get; floor ~1.5 ms/iter subtracted mentally.
 """
-import os
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 import sys, time
 sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
+# env-var route is silently ignored (sitecustomize imports jax first)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 from maskfusion_tpu.camera import Resolution, CameraIntrinsics
 from maskfusion_tpu.config import Config
 from maskfusion_tpu.engine import MaskFusion
