@@ -126,10 +126,19 @@ class MaskFusion:
     MaskFusion class (MaskFusion.h:45-425)."""
 
     def __init__(self, resolution: Resolution, intr: CameraIntrinsics,
-                 config: Optional[Config] = None):
+                 config: Optional[Config] = None, mesh=None,
+                 model_axis: str = "models"):
         self.res = resolution
         self.intr = intr
         self.cfg = config or Config()
+        # Multi-chip model-axis parallelism (replaces the reference's
+        # sequential per-model loop, MaskFusion.cpp:246-278): with a
+        # jax.sharding.Mesh, the object-stacked axis inside the pipelined
+        # tracking/fuse graphs carries a GSPMD sharding constraint so each
+        # device tracks+fuses its shard of the object models; the frame
+        # pyramids replicate and collectives ride ICI.
+        self._model_mesh = mesh
+        self._model_axis = model_axis
         self.tick = 0
         self.models: List[Model] = []          # [0] = global model
         self.inactive_models: List[Model] = []
@@ -873,23 +882,23 @@ class MaskFusion:
             cov = jnp.max(tr.cov_diag)
             n_obj = len(obj_states)
             obj_mids = obj_aux[:, 0].astype(jnp.uint8)
-            if n_obj and windowed:
-                new_poses, jumps = track_objects_win(
+            if n_obj:
+                # model-axis sharding: each device solves its shard of the
+                # per-object GN systems (no-op without a mesh)
+                stk = self._shard_model_axis((
                     jnp.stack([s.pose for s in obj_states]),
                     jnp.stack([s.pred_vmap for s in obj_states]),
                     jnp.stack([s.pred_nmap for s in obj_states]),
                     jnp.stack([s.pred_rgb for s in obj_states]),
-                    jnp.stack([s.so3_intensity for s in obj_states]),
+                    jnp.stack([s.so3_intensity for s in obj_states])))
+            if n_obj and windowed:
+                new_poses, jumps = track_objects_win(
+                    *stk,
                     obj_mids, obj_aux[:, 1].astype(jnp.int32),
                     obj_aux[:, 2].astype(jnp.int32), prep, warm)
             elif n_obj:
                 new_poses, jumps = track_objects(
-                    jnp.stack([s.pose for s in obj_states]),
-                    jnp.stack([s.pred_vmap for s in obj_states]),
-                    jnp.stack([s.pred_nmap for s in obj_states]),
-                    jnp.stack([s.pred_rgb for s in obj_states]),
-                    jnp.stack([s.so3_intensity for s in obj_states]),
-                    obj_mids, prep, warm)
+                    *stk, obj_mids, prep, warm)
             else:
                 new_poses = jnp.zeros((0, 4, 4), jnp.float32)
                 jumps = jnp.zeros((0,), jnp.float32)
@@ -942,7 +951,8 @@ class MaskFusion:
                                  seg_mask, prev_poses, time, obj_params,
                                  glob_bucket: int, obj_bucket: int,
                                  parity: "int | None",
-                                 windowed: bool = False, gate=None):
+                                 windowed: bool = False, gate=None,
+                                 ids_guard=None):
             """All models' fuse+clean+predict in one graph (global + vmapped
             equal-capacity objects; MaskFusion.cpp:539-569 loops models).
             prev_poses is ONE stacked (n_models, 4, 4) array (row 0 global)
@@ -950,15 +960,33 @@ class MaskFusion:
             weight_mult, oy, ox] — single uploads instead of a per-field
             dispatch storm on remote transports.  `gate` (prefused pipeline)
             is the device-side tracking-ok scalar from the same frame's
-            device stage — when False the map updates select away."""
+            device stage — when False the map updates select away.
+
+            `ids_guard` (prefused pipeline): the SAME-frame model-id
+            projection from the device stage.  The prefused fuse consumes a
+            segmentation that lags by however many frames the host pipeline
+            is deep; around moving objects the stale mask assigns leading/
+            trailing-edge pixels to the wrong model, smearing object pixels
+            into the global map (observed: phantom model spawns on the
+            smeared regions).  The guard neutralises exactly those pixels:
+            where the stale seg and the current projection BOTH claim a
+            (different) model, the pixel becomes 255 (semantic-ignore — no
+            model fuses it and no clean penalty fires).  ids==0 pixels keep
+            the stale label so disocclusions still fuse into the global map
+            and freshly-spawned objects (whose maps project nothing yet)
+            can bootstrap."""
+            if ids_guard is not None:
+                seg_mask = jnp.where(
+                    (seg_mask == ids_guard) | (ids_guard == 0),
+                    seg_mask, jnp.uint8(255))
             new_glob, _removed, _app = fuse_clean_predict(
                 glob_state, prep, rgb, seg_mask, prev_poses[0], time,
                 jnp.uint8(0), cfg.conf_threshold_global, cfg.depth_cutoff,
                 cfg.weight_multiplier, True, glob_bucket, parity, True,
                 gate)
             if obj_states:
-                stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
-                                       *obj_states)
+                stacked = self._shard_model_axis(
+                    jax.tree.map(lambda *xs: jnp.stack(xs), *obj_states))
 
                 if windowed:
                     def one_w(state, prev_pose, params):
@@ -994,6 +1022,27 @@ class MaskFusion:
             pipelined_fuse_stage, donate_argnums=(0, 1),
             static_argnames=("glob_bucket", "obj_bucket", "parity",
                              "windowed"))
+
+    def _shard_model_axis(self, tree):
+        """GSPMD sharding constraint on a leading model-stacked axis: with a
+        mesh, each device owns a shard of the object models through the
+        vmapped tracking/fuse graphs (parallel.multimodel's axis, wired into
+        the engine).  No-op without a mesh, or when the model count doesn't
+        tile the mesh axis (GSPMD needs divisibility; odd counts replicate,
+        which is always correct)."""
+        mesh = self._model_mesh
+        if mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        leaves = jax.tree.leaves(tree)
+        n = leaves[0].shape[0] if leaves else 0
+        size = mesh.shape.get(self._model_axis, 1)
+        if n == 0 or size <= 1 or n % size:
+            return tree
+        sh = NamedSharding(mesh, PartitionSpec(self._model_axis))
+        return jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, sh), tree)
 
     # ------------------------------------------------------------ lifecycle
     def _get_next_model_id(self, assign: bool) -> int:
@@ -1624,7 +1673,7 @@ class MaskFusion:
     def _dispatch_fuse_prefused(self, prep, rgb, seg_dev, tick: int,
                                 prev_poses_dev, gate, glob, objs,
                                 glob_bucket: int, obj_bucket: int,
-                                windowed: bool):
+                                windowed: bool, ids_guard=None):
         """Prefused-pipeline fuse dispatch: rides the device queue right
         behind the same frame's device stage.  prev_poses (pre-track poses,
         row 0 global) and the tracking-ok gate are device outputs of that
@@ -1642,7 +1691,8 @@ class MaskFusion:
             glob.state, tuple(m.state for m in objs), prep, rgb,
             seg_dev, prev_poses_dev, float(tick), obj_params,
             glob_bucket=glob_bucket, obj_bucket=obj_bucket,
-            parity=parity, windowed=windowed, gate=gate)
+            parity=parity, windowed=windowed, gate=gate,
+            ids_guard=ids_guard)
         glob.state = new_glob
         for m, s in zip(objs, new_objs):
             m.state = s
@@ -1817,11 +1867,13 @@ class MaskFusion:
                 self._start_async_copy(x)
             if prefused:
                 # fuse(t) rides the device queue immediately: newest
-                # device-resident seg + device-side tracking-ok gate
+                # device-resident seg (guarded by the same-frame id
+                # projection) + device-side tracking-ok gate
                 with self.stopwatch.scope("fuse"):
                     self._dispatch_fuse_prefused(
                         prep, rgb, prev_seg, self.tick, prev_poses_dev,
-                        okf, glob, objs, glob_bucket, obj_bucket, windowed)
+                        okf, glob, objs, glob_bucket, obj_bucket, windowed,
+                        ids_guard=ids_dev)
             self._pending.append(dict(
                 kind="prefused" if prefused else "lagfuse",
                 frame=frame, prep=prep, rgb=rgb, ids=ids_dev,

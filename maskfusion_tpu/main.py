@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-el", dest="export_labels", action="store_true")
     p.add_argument("-en", dest="export_normals", action="store_true")
     p.add_argument("-ev", dest="export_viewport", action="store_true")
+    p.add_argument("-viewer", dest="viewer", action="store_true",
+                   help="live cv2 window: predicted RGB / shaded map / "
+                        "depth / labels per frame with pause/step/quit "
+                        "keys (offscreen canvas when no display)")
     # capacities
     p.add_argument("--global-capacity", type=int, default=1 << 22)
     p.add_argument("--object-capacity", type=int, default=1 << 19)
@@ -277,6 +281,13 @@ def main(argv=None):
         checkpoint.load(engine, args.load_state)
         print(f"resumed from {args.load_state} at tick {engine.tick}")
 
+    live = None
+    if args.viewer:
+        from maskfusion_tpu.gui import LiveViewer
+
+        live = LiveViewer(engine,
+                          screenshot_dir=cfg.export_dir or ".")
+
     budget_ms = 1000.0 / cfg.target_fps
     n = 0
     t_start = time.perf_counter()
@@ -306,6 +317,9 @@ def main(argv=None):
         gt_pose = gt.get_pose(frame.timestamp) if gt else None
         diag = engine.process_frame(frame, gt_pose=gt_pose)
         n += 1
+        if live is not None and not live.update(diag):
+            print("viewer quit")
+            break
         if n % 25 == 0:
             print(f"[{n}] surfels={diag.get('surfels')} "
                   f"models={diag.get('n_models', 1)} "
@@ -347,6 +361,8 @@ def main(argv=None):
             frame = nn_queue.pop_ready()
         nn_worker.stop()
 
+    if live is not None:
+        live.close()
     elapsed = time.perf_counter() - t_start
     fps = n / elapsed if elapsed > 0 else 0.0
     print(f"processed {n} frames in {elapsed:.1f}s ({fps:.2f} FPS)")

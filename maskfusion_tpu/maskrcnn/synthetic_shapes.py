@@ -180,3 +180,223 @@ def eval_shapes_detection(params, image_size: int = 64, n_scenes: int = 12,
         "mask_iou": float(np.mean(mask_ious)),
         "mean_score": float(np.mean(scores_l)),
     }
+
+
+# --------------------------------------------------------------------------
+# Rich multi-instance domain (>=256 px): occlusion, clutter, 3 shape classes
+# --------------------------------------------------------------------------
+
+NUM_RICH_CLASSES = 4    # bg, rectangle, disk, triangle
+RICH_MAX_OBJECTS = 4
+
+
+def make_rich_scene(
+    rng: np.random.Generator,
+    size: int,
+    max_objects: int = RICH_MAX_OBJECTS,
+    min_visible: float = 0.25,
+):
+    """Multi-instance scene at >=256 px with the failure modes the micro
+    domain lacks (VERDICT r3 item 8): overlapping instances (later shapes
+    OCCLUDE earlier ones — gt masks are the VISIBLE parts), low-contrast
+    clutter distractors, textured background, and per-instance hue jitter.
+    Classes: 1 rectangle, 2 disk, 3 triangle (matterport's train_shapes
+    domain plus occlusion, MaskRCNN.py.in tutorial lineage).
+
+    Returns (image, boxes, classes, valid, masks) with static
+    (max_objects, ...) shapes; occluded-away instances have valid=False."""
+    S = size
+    yy, xx = np.mgrid[0:S, 0:S].astype(np.float32)
+    # textured background: low-frequency gradient + broadband noise
+    g = rng.uniform(0, 60, 3).astype(np.float32)
+    d = rng.uniform(-1, 1, (2, 3)).astype(np.float32)
+    img = (g[None, None] + yy[..., None] / S * 40 * d[0]
+           + xx[..., None] / S * 40 * d[1]
+           + rng.uniform(0, 25, (S, S, 3))).astype(np.float32)
+
+    def draw_shape(cls, cy, cx, h, w, ang):
+        if cls == 1:
+            ca, sa = np.cos(ang), np.sin(ang)
+            ry = (yy - cy) * ca - (xx - cx) * sa
+            rx = (yy - cy) * sa + (xx - cx) * ca
+            return (np.abs(ry) <= h / 2) & (np.abs(rx) <= w / 2)
+        if cls == 2:
+            return ((yy - cy) / (h / 2)) ** 2 + ((xx - cx) / (w / 2)) ** 2 <= 1.0
+        # triangle: apex up, base h below, rotated by ang
+        ca, sa = np.cos(ang), np.sin(ang)
+        ry = (yy - cy) * ca - (xx - cx) * sa
+        rx = (yy - cy) * sa + (xx - cx) * ca
+        return (ry >= -h / 2) & (ry <= h / 2) & (
+            np.abs(rx) <= (ry + h / 2) / h * (w / 2))
+
+    # clutter: 3-6 dim distractors that must be REJECTED (below the object
+    # intensity band, wrong saturation)
+    for _ in range(int(rng.integers(3, 7))):
+        cls = int(rng.integers(1, NUM_RICH_CLASSES))
+        h = rng.uniform(0.04, 0.12) * S
+        m = draw_shape(cls, rng.uniform(0, S), rng.uniform(0, S), h, h,
+                       rng.uniform(0, np.pi))
+        img[m] = rng.uniform(40, 90, 3).astype(np.float32)
+
+    n = int(rng.integers(2, max_objects + 1))
+    boxes = np.zeros((max_objects, 4), np.float32)
+    classes = np.zeros((max_objects,), np.int32)
+    valid = np.zeros((max_objects,), bool)
+    masks = np.zeros((max_objects, S, S), np.float32)
+    full = []
+    for i in range(n):
+        cls = int(rng.integers(1, NUM_RICH_CLASSES))
+        h = rng.uniform(0.15, 0.4) * S
+        w = rng.uniform(0.15, 0.4) * S
+        if cls == 2:
+            w = h
+        cy = rng.uniform(h / 2 + 2, S - h / 2 - 2)
+        cx = rng.uniform(w / 2 + 2, S - w / 2 - 2)
+        m = draw_shape(cls, cy, cx, h, w, rng.uniform(0, np.pi))
+        color = np.full(3, 0.0, np.float32)
+        color[cls - 1] = rng.uniform(170, 255)
+        color[(cls) % 3] = rng.uniform(90, 150)    # hue jitter off the axis
+        img[m] = color[None] + rng.uniform(-12, 12, (int(m.sum()), 3))
+        # later shapes occlude earlier ones: carve the overlap out
+        for j in range(len(full)):
+            full[j] = (full[j][0] & ~m, full[j][1])
+        full.append((m, float(m.sum())))
+        classes[i] = cls
+    for i, (m, area0) in enumerate(full):
+        if m.sum() < min_visible * max(area0, 1.0):
+            classes[i] = 0
+            continue
+        ys, xs = np.nonzero(m)
+        boxes[i] = [ys.min() / S, xs.min() / S,
+                    (ys.max() + 1) / S, (xs.max() + 1) / S]
+        masks[i][m] = 1.0
+        valid[i] = True
+    return img, boxes, classes, valid, masks
+
+
+def rich_config(image_size: int = 256):
+    """Training config for the rich domain at >=256 px: deeper backbone and
+    wider heads than micro_config, anchors rescaled to the instance sizes."""
+    import jax.numpy as jnp
+
+    from maskfusion_tpu.maskrcnn.model import MaskRCNNConfig
+
+    return MaskRCNNConfig(
+        num_classes=NUM_RICH_CLASSES, image_size=image_size,
+        anchor_scales=(16, 32, 64, 128, 256), anchor_ratios=(0.5, 1.0, 2.0),
+        pre_nms_limit=512, post_nms_proposals=64,
+        max_detections=RICH_MAX_OBJECTS * 2,
+        roi_pool_size=7, mask_pool_size=14,
+        fpn_channels=64, box_head_dim=256, mask_head_channels=64,
+        backbone_blocks=(2, 2, 2, 2),
+        train_rois=32, roi_positive_ratio=0.4, score_threshold=0.0,
+        rpn_positive_iou=0.6, dtype=jnp.float32,
+    )
+
+
+def train_rich(steps: int = 1500, image_size: int = 256, seed: int = 0,
+               lr: float = 1e-3, log_every: int = 0, warmup: int = 100):
+    """Train the full loss stack on the rich domain.  Run on the TPU (the
+    256 px ResNet+FPN step is MXU-shaped); works on CPU for smoke sizes."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from maskfusion_tpu.maskrcnn.model import MaskRCNN
+
+    cfg = rich_config(image_size)
+    model = MaskRCNN(cfg)
+    rng = np.random.default_rng(seed)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, image_size, image_size, 3)))
+    sched = optax.join_schedules(
+        [optax.linear_schedule(lr * 0.05, lr, warmup),
+         optax.cosine_decay_schedule(lr, max(steps - warmup, 1), 0.05)],
+        [warmup])
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(sched))
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, key, img, boxes, classes, valid, masks):
+        def loss_fn(p):
+            out = model.apply(p, img[None], boxes, classes, valid, masks,
+                              key, method=MaskRCNN.train_losses)
+            return out["total"], out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    losses = []
+    for i in range(steps):
+        img, b, c, v, m = make_rich_scene(rng, image_size)
+        params, opt, loss = step(
+            params, opt, jax.random.PRNGKey(i), jnp.asarray(img),
+            jnp.asarray(b), jnp.asarray(c), jnp.asarray(v), jnp.asarray(m))
+        losses.append(float(loss))
+        if log_every and (i + 1) % log_every == 0:
+            print(f"step {i+1}/{steps} loss "
+                  f"{np.mean(losses[-log_every:]):.4f}", flush=True)
+    return params, losses
+
+
+def eval_rich_detection(params, image_size: int = 256, n_scenes: int = 10,
+                        seed: int = 1, score_thresh: float = 0.5):
+    """Held-out MULTI-instance quality: greedy best-IoU matching of
+    detections to ground truth per scene.  Returns dict(det_iou, cls_acc,
+    mask_iou, recall) over all gt instances (unmatched gt scores 0)."""
+    import jax
+    import jax.numpy as jnp
+
+    from maskfusion_tpu.maskrcnn.model import MaskRCNN
+
+    cfg = rich_config(image_size)
+    model = MaskRCNN(cfg)
+    rng = np.random.default_rng(seed)
+    fwd = jax.jit(lambda p, im: model.apply(p, im))
+    S = image_size
+    ious, cls_ok, mask_ious, matched_n, gt_n = [], [], [], 0, 0
+    for _ in range(n_scenes):
+        img, b, c, v, m = make_rich_scene(rng, image_size)
+        out = fwd(params, jnp.asarray(img)[None])
+        scores = np.asarray(out["detection_scores"])
+        dets = np.asarray(out["detections"])
+        dcls = np.asarray(out["detection_classes"])
+        mlog = np.asarray(out["mask_logits"])
+        order = np.argsort(-scores)
+        used = set()
+        for gi in np.nonzero(v)[0]:
+            gt_n += 1
+            best, best_iou = -1, 0.0
+            for k in order:
+                if scores[k] < score_thresh or k in used:
+                    continue
+                iou = box_iou_np(dets[k], b[gi])
+                if iou > best_iou:
+                    best, best_iou = k, iou
+            if best < 0 or best_iou < 0.3:
+                ious.append(0.0)
+                continue
+            used.add(best)
+            matched_n += 1
+            ious.append(best_iou)
+            cls_ok.append(int(dcls[best]) == int(c[gi]))
+            det = dets[best]
+            ml = mlog[best] > 0
+            y1, x1, y2, x2 = np.clip((det * S).astype(int), 0, S)
+            y2, x2 = max(y2, y1 + 1), max(x2, x1 + 1)
+            yy, xx = np.mgrid[y1:y2, x1:x2]
+            my = np.clip(((yy - y1) / (y2 - y1) * ml.shape[0]).astype(int),
+                         0, ml.shape[0] - 1)
+            mx = np.clip(((xx - x1) / (x2 - x1) * ml.shape[1]).astype(int),
+                         0, ml.shape[1] - 1)
+            pred = np.zeros((S, S), bool)
+            pred[y1:y2, x1:x2] = ml[my, mx]
+            gtm = m[gi] > 0.5
+            mask_ious.append((pred & gtm).sum() / max((pred | gtm).sum(), 1))
+    return {
+        "det_iou": float(np.mean(ious)) if ious else 0.0,
+        "cls_acc": float(np.mean(cls_ok)) if cls_ok else 0.0,
+        "mask_iou": float(np.mean(mask_ious)) if mask_ious else 0.0,
+        "recall": matched_n / max(gt_n, 1),
+    }

@@ -1,0 +1,85 @@
+"""Deformation-graph performance targets (VERDICT r3 #6 / PARITY.md):
+
+- optimise() at 1024 nodes through the native Eigen SimplicialLLT
+  (cpp/mfcore.cpp:310-387) — target < 50 ms after the symbolic analysis is
+  cached (round-2's scipy-CG was ~650 ms).
+- apply_to_points() at 100k points on device — target < 1 s (round-2's
+  host loop was 12 s).
+
+Host solve runs on CPU regardless of backend; apply_to_points uses the
+default backend (TPU when run in a TPU session, CPU under --cpu).
+
+    python scripts/deformation_bench.py [--cpu]
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    if "--cpu" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from maskfusion_tpu.reloc.deformation import DeformationGraph
+
+    rng = np.random.default_rng(0)
+    n_nodes = 1024
+    # nodes along a noisy space curve (sample_from_map samples a pose
+    # graph's positions; a curve mimics a camera trajectory's spread)
+    t = np.linspace(0, 8, n_nodes)
+    nodes = np.stack([np.cos(t), np.sin(0.7 * t), 0.2 * t], 1)
+    nodes += 0.01 * rng.standard_normal(nodes.shape)
+    g = DeformationGraph(nodes.astype(np.float32),
+                         node_times=np.arange(n_nodes, dtype=np.float32))
+    k = 24
+    idx = rng.choice(n_nodes, k, replace=False)
+    src = nodes[idx].astype(np.float32)
+    dst = src + np.array([0.02, -0.01, 0.015], np.float32)
+    for s, d in zip(src, dst):
+        g.add_constraint(s, d)
+
+    # optimise: first call pays the symbolic analysis + compiles; steady
+    # state is the per-loop-closure cost the <50 ms target describes
+    t0 = time.perf_counter()
+    g.optimise()
+    first = (time.perf_counter() - t0) * 1000
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        g.optimise()
+        times.append((time.perf_counter() - t0) * 1000)
+    print(f"optimise 1024 nodes, {k} constraints: first {first:.1f} ms, "
+          f"steady median {np.median(times):.1f} ms "
+          f"(target <50 ms)", flush=True)
+
+    n_pts = 100_000
+    pts = (nodes[rng.integers(0, n_nodes, n_pts)]
+           + 0.05 * rng.standard_normal((n_pts, 3))).astype(np.float32)
+    nrm = rng.standard_normal((n_pts, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    t0 = time.perf_counter()
+    out_p, out_n = g.apply_to_points(pts, nrm)
+    first_ap = time.perf_counter() - t0
+    ap_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out_p, out_n = g.apply_to_points(pts, nrm)
+        ap_times.append(time.perf_counter() - t0)
+    print(f"apply_to_points 100k pts+normals: first {first_ap:.2f} s, "
+          f"steady median {np.median(ap_times) * 1000:.0f} ms "
+          f"(target <1 s)", flush=True)
+    assert np.isfinite(out_p).all() and np.isfinite(out_n).all()
+    moved = np.linalg.norm(out_p - pts, axis=1)
+    print(f"  displacement: mean {moved.mean() * 1000:.2f} mm, "
+          f"max {moved.max() * 1000:.2f} mm", flush=True)
+
+
+if __name__ == "__main__":
+    main()

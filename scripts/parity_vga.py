@@ -36,7 +36,12 @@ def main():
     out = args.out_dir + ("_static" if args.static else "")
     t0 = time.perf_counter()
     argv = ["-dir", seq, "-cal", os.path.join(seq, "calibration.txt"),
-            "-exportdir", out, "-ep", "-q"]
+            "-exportdir", out, "-ep", "-q",
+            # exact sequential dataflow: parity measures ACCURACY, and the
+            # prefused schedule's lifecycle lag depends on transfer timing
+            # (nondeterministic on the remote transport).  bench.py measures
+            # the shipping prefused schedule's speed.
+            "--pipeline", "exact"]
     if args.static:
         argv += ["-static"]
     else:

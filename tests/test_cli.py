@@ -84,3 +84,42 @@ def test_viewer_and_viewport_export(tmp_path):
     p = viewer.save_viewport(eng, str(tmp_path / "vp.png"))
     import os
     assert os.path.getsize(p) > 1000
+
+
+def test_cli_live_viewer_offscreen(tmp_path, monkeypatch):
+    """-viewer on a headless box: the LiveViewer must compose its canvas
+    every frame through the offscreen path (same panels as the window mode,
+    GUI.h:172-248) without ever touching a display."""
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+    captured = {}
+
+    from maskfusion_tpu import gui
+
+    orig_update = gui.LiveViewer.update
+
+    def spy_update(self, diag=None):
+        ok = orig_update(self, diag)
+        assert self.offscreen        # auto-detected: no display configured
+        captured["canvas"] = self.last_canvas
+        captured["shot"] = self.screenshot(str(tmp_path / "shot.png"))
+        return ok
+
+    monkeypatch.setattr(gui.LiveViewer, "update", spy_update)
+
+    data = tmp_path / "data"
+    data.mkdir()
+    write_dataset(str(data), n=3, with_masks=False)
+    rc = main([
+        "-dir", str(data), "-static", "-q", "-nso", "-viewer",
+        "-cal", _write_cal(tmp_path),
+        "--global-capacity", str(1 << 16),
+    ])
+    assert rc == 0
+    canvas = captured["canvas"]
+    # 2x2 panel grid + 24 px HUD bar
+    assert canvas.shape == (2 * syn.H + 24, 2 * syn.W, 3)
+    assert canvas.dtype == np.uint8
+    # panels carry real content (predicted rgb + map render + depth)
+    assert canvas[24:, :].std() > 5.0
+    assert os.path.getsize(captured["shot"]) > 1000
