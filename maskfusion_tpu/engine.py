@@ -182,6 +182,9 @@ class MaskFusion:
         self.new_model_listeners = []
         self.inactive_model_listeners = []
         self._pending = _collections.deque()  # in-flight pipelined frames
+        self._recent_spawns = []  # (expiry_tick, model_id, spawn mask) —
+                                  # phantom re-spawn claims, see
+                                  # _segment_and_update_models
         self._pipelined_active = False
         self._np_glob_pose = None   # numpy mirror of the tracked global
         self._seg_dev = None        # (tick, device seg) fuse-stage cache
@@ -817,12 +820,12 @@ class MaskFusion:
         self._combine_ids = jax.jit(combine_ids)
 
         def init_map(prep: Preprocessed, rgb, seg_mask, mask_id, pose, time,
-                     capacity):
+                     capacity, weighting: float = 1.0):
             m = sm.init_from_frame(
                 capacity,
                 prep.vmap_raw, prep.levels[0]["vmap"],
                 prep.levels[0]["nmap"], rgb, seg_mask, mask_id, pose, intr,
-                time,
+                time, weighting,
             )
             im = splat_ops.render_index_map(
                 m, se3.pose_inverse(pose), intr, H, W, time, time_delta,
@@ -839,18 +842,8 @@ class MaskFusion:
                 so3_intensity=prep.frame_pyr.intensities[cfg.num_pyr_levels - 1],
             )
 
-        self._init_map = jax.jit(init_map, static_argnames=("capacity",))
-
-        def empty_state(prep: Preprocessed, rgb, pose, capacity):
-            zero_pred = jnp.full((H, W, 3), jnp.nan, jnp.float32)
-            return MapState(
-                map=sm.empty(capacity), pose=pose, last_delta=jnp.eye(4),
-                pred_vmap=zero_pred, pred_nmap=zero_pred,
-                pred_rgb=jnp.zeros((H, W, 3), jnp.float32),
-                so3_intensity=prep.frame_pyr.intensities[cfg.num_pyr_levels - 1],
-            )
-
-        self._empty_state = jax.jit(empty_state, static_argnames=("capacity",))
+        self._init_map = jax.jit(init_map,
+                                 static_argnames=("capacity", "weighting"))
 
         # ---- fused pipelined dispatches ----
         # The multi-object frame otherwise issues ~10 separate jitted calls
@@ -1492,6 +1485,46 @@ class MaskFusion:
         seg_mask_np = seg_result.full_segmentation
         self.last_segmentation = seg_mask_np
 
+        # -------- claim phantom re-spawns (pipelined-only pathology) ------
+        # A model spawned at host-time t is invisible to the id projections
+        # of the <= pipeline_depth frames that were already dispatched, so
+        # their host stages see the same mask component as "unexplained"
+        # and would spawn it AGAIN (measured: 4 phantom models on a
+        # 2-object scene).  If the would-be-new component overlaps a
+        # recently spawned model's spawn-time mask, it IS that model —
+        # remap the label instead of spawning.
+        if seg_result.has_new_label and self._recent_spawns:
+            md = seg_result.model_data[-1]
+            sel = seg_result.full_segmentation == md.model_id
+            sel_n = int(np.count_nonzero(sel))
+            live_ids = {m.model_id for m in self.models}
+            claimed = None
+            for exp_tick, rid, rmask in self._recent_spawns:
+                if tick > exp_tick or rid not in live_ids:
+                    continue
+                inter = int(np.count_nonzero(sel & rmask))
+                if (inter > 0.3 * max(sel_n, 1)
+                        or inter > 0.3 * max(int(np.count_nonzero(rmask)),
+                                             1)):
+                    claimed = rid
+                    break
+            if claimed is not None:
+                seg_result.full_segmentation = np.where(
+                    sel, claimed,
+                    seg_result.full_segmentation).astype(np.uint8)
+                seg_mask_np = seg_result.full_segmentation
+                self.last_segmentation = seg_mask_np
+                if hasattr(self.segmenter, "remap_new_label"):
+                    self.segmenter.remap_new_label(md.model_id, claimed)
+                seg_result.has_new_label = False
+                nd = seg_result.model_data.pop()
+                cd = seg_result.data_for(claimed)
+                if cd is not None:
+                    cd.is_empty = False
+                    cd.pixel_count = nd.pixel_count
+        self._recent_spawns = [
+            (e, r, m) for (e, r, m) in self._recent_spawns if tick <= e]
+
         # -------- redetect inactive models (MaskFusion::redetectModels
         #          interface; gutted in the reference :686-689) --------
         if (cfg.enable_redetection and self.inactive_models
@@ -1529,30 +1562,52 @@ class MaskFusion:
         if seg_result.has_new_label:
             new_id = self._get_next_model_id(True)
             md = seg_result.model_data[-1]
+            # spawn pose starts at the camera pose; static offset is
+            # identity at spawn (makeStatic, Model.h:264 with pose=I
+            # relative to camera)
+            gp = np.asarray(self._np_glob_pose
+                            if self._np_glob_pose is not None
+                            else glob.state.pose)
+            # initialise the newborn map from the spawn frame's masked
+            # pixels (FeedbackBuffer + Model::initialise semantics,
+            # Model.cpp:240-285).  The reference fuses the spawn frame into
+            # the new model synchronously the same frame; the async
+            # pipeline can't, so the first-fuse weight boost (100, mirrors
+            # the fuse dispatch's !fused_once multiplier) rides the
+            # initialisation instead — the newborn clears GlobalProjection's
+            # conf-12 gate immediately, the segmenter can match its mask
+            # from the next frame on, and no phantom re-spawns fire while
+            # the first fuse is still in flight.
+            spawn_seg = jnp.asarray(seg_result.full_segmentation)
+            new_state = self._init_map(
+                prep, rgb, spawn_seg, jnp.uint8(new_id),
+                jnp.asarray(gp.astype(np.float32)), float(tick),
+                cfg.object_surfel_capacity, weighting=100.0)
             new_model = Model(
                 model_id=new_id,
-                state=self._empty_state(
-                    prep, rgb, glob.state.pose,
-                    cfg.object_surfel_capacity,
-                ),
+                state=new_state,
                 class_id=md.class_id,
                 conf_threshold=cfg.conf_threshold_object,
                 max_depth=md.depth_mean + 1.2 * md.depth_std,
                 is_static=True,
                 initial_c2w_inv=np.eye(4, dtype=np.float32),
-                count_est=0,   # empty map — avoid a blocking count fetch
+                # exact host-side count: the masked-pixel surfels (avoids a
+                # blocking device count fetch in pipelined mode)
+                count_est=int(md.pixel_count or 0),
             )
-            # spawn pose starts at the camera pose; static offset is
-            # identity at spawn (makeStatic, Model.h:264 with pose=I
-            # relative to camera)
-            gp = (self._np_glob_pose if self._np_glob_pose is not None
-                  else glob.state.pose)
-            new_model.state = new_model.state._replace(pose=gp.copy())
             new_model.prev_pose = gp.copy()
             self.models.append(new_model)
             for cb in self.new_model_listeners:
                 cb(new_model)
             self.spawn_offset = 0
+            # remember the spawn-time mask: host stages of the frames
+            # already in flight (dispatched BEFORE this spawn, so their id
+            # projections cannot contain the new model) would otherwise
+            # re-spawn the same region as a phantom model — the claim block
+            # above remaps those components back to this model instead
+            self._recent_spawns.append(
+                (tick + int(cfg.pipeline_depth) + 2, new_id,
+                 seg_mask_np == new_id))
 
             if cfg.spawn_subtraction:
                 # eraseErrorGeometry (MaskFusion.cpp:355-358): carve

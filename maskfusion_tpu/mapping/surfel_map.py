@@ -93,11 +93,17 @@ def init_from_frame(
     pose: jnp.ndarray,          # (4, 4) cam->world
     intr: CameraIntrinsics,
     time: float = 1.0,
+    weighting: float = 1.0,
 ) -> SurfelMap:
     """First-observation initialisation — the equivalent of
     FeedbackBuffer::computeFeedbackBuffers + Model::initialise
     (Model.cpp:240-285, vertex_feedback.vert:19-68): every valid masked pixel
-    becomes a surfel."""
+    becomes a surfel.
+
+    `weighting` scales the initial confidences (object-model spawns pass the
+    first-fuse boost so the newborn map clears GlobalProjection's hardcoded
+    conf-12 gate, GlobalProjection.cpp:61, on its very first projection —
+    the async pipeline can't rely on a same-frame fuse to do it)."""
     H, W = vmap_raw.shape[:2]
     R = pose[:3, :3]
     t = pose[:3, 3]
@@ -111,7 +117,7 @@ def init_from_frame(
 
     pos_w = (vmap_raw.reshape(-1, 3) @ R.T) + t
     norm_w = nmap_filt.reshape(-1, 3) @ R.T
-    conf = pixel_confidence(H, W, intr, 1.0).reshape(-1)
+    conf = pixel_confidence(H, W, intr, 1.0).reshape(-1) * weighting
     rad = radius_from_depth(
         vmap_filt[..., 2].reshape(-1), nmap_filt[..., 2].reshape(-1), intr
     )

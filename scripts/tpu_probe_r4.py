@@ -67,12 +67,24 @@ timeit("nothing (floor)", lambda: nothing(jnp.float32(1.0)))
 # ---- end-to-end fused static step (no donation so it can repeat) ----
 fss = jax.jit(eng._fused_static_step.__wrapped__,
               static_argnames=("bucket", "parity", "compact"))
-step_s = jax.jit(lambda s, r, d: ssum(
-    fss(s, r, d, TIME, bucket=B, parity=0, compact=False)[0].pose))
+
+
+def step_consume(out):
+    # consume EVERY output field: summing only the pose lets XLA dead-code
+    # eliminate the whole fuse/clean/predict subgraph (a pose-only probe
+    # measured 20.6 ms against the bench's 74 ms frame — it was timing
+    # preprocess+track alone)
+    s = out[0]
+    return ssum(s.map.conf, s.map.pos, s.map.last_seen, s.map.count,
+                s.pose, s.pred_vmap, s.pred_nmap, s.pred_rgb)
+
+
+step_s = jax.jit(lambda s, r, d: step_consume(
+    fss(s, r, d, TIME, bucket=B, parity=0, compact=False)))
 timeit("fused_static_step (compact=False)",
        lambda: step_s(st, rj, dj))
-step_sc = jax.jit(lambda s, r, d: ssum(
-    fss(s, r, d, TIME, bucket=B, parity=0, compact=True)[0].pose))
+step_sc = jax.jit(lambda s, r, d: step_consume(
+    fss(s, r, d, TIME, bucket=B, parity=0, compact=True)))
 timeit("fused_static_step (compact=True)",
        lambda: step_sc(st, rj, dj))
 

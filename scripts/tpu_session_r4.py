@@ -29,7 +29,11 @@ def run(name, cmd, timeout):
 
 
 if __name__ == "__main__":
-    open(LOG, "w").write(f"TPU session r4 started {time.ctime()}\n")
+    # append — a later stage-selective invocation must not clobber the
+    # previous stages' numbers
+    with open(LOG, "a") as f:
+        f.write(f"\nTPU session r4 started {time.ctime()} "
+                f"stages={sys.argv[1:] or 'all'}\n")
     only = sys.argv[1:] or ["diag", "bench", "probe", "nn", "parity"]
     if "diag" in only:
         run("diag_two_object",
