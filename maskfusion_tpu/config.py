@@ -74,6 +74,15 @@ class Config:
     # recovery at period 5 is within 0.5% of period 1 (5.61 vs 5.59 mm)
     # while halving the search gathers that dominate tracking cost.
     assoc_period: int = 5
+    # Gauss-Newton convergence cutoff: once an iteration's solved increment
+    # max|x| drops below this (metres / radians — orders below sensor
+    # noise), the level's remaining iterations are skipped via a
+    # lax.while_loop.  The reference runs its full (10,5,4) schedule
+    # unconditionally (RGBDOdometry.cpp:327-497) because a GPU warp gains
+    # nothing from early exit; on TPU the skipped iterations are real wall
+    # time (static scenes converge in 2-4 of the 10 level-0 iterations).
+    # 0 restores the fixed schedule.
+    gn_step_eps: float = 1e-6
     # Track all object models in one vmapped dispatch (vs the reference's
     # sequential per-model loop, MaskFusion.cpp:246-278).
     batch_object_tracking: bool = True

@@ -182,6 +182,7 @@ class MaskFusion:
         self.new_model_listeners = []
         self.inactive_model_listeners = []
         self._pending = _collections.deque()  # in-flight pipelined frames
+        self._uploader = None     # lazy single-thread frame-staging pool
         self._recent_spawns = []  # (expiry_tick, model_id, spawn mask) —
                                   # phantom re-spawn claims, see
                                   # _segment_and_update_models
@@ -285,6 +286,7 @@ class MaskFusion:
                 translation_jump_limit=cfg.translation_jump_limit,
                 num_levels=cfg.num_pyr_levels,
                 assoc_period=cfg.assoc_period,
+                gn_step_eps=cfg.gn_step_eps,
             )
             pose = se3.make_pose(res.R, res.t)
             return TrackResult(
@@ -326,6 +328,7 @@ class MaskFusion:
                     translation_jump_limit=cfg.translation_jump_limit,
                     num_levels=cfg.num_pyr_levels,
                     assoc_period=cfg.assoc_period,
+                    gn_step_eps=cfg.gn_step_eps,
                 )
                 pose_new = se3.make_pose(res.R, res.t)
                 return pose_new, jnp.linalg.norm(res.delta[:3, 3])
@@ -441,6 +444,7 @@ class MaskFusion:
                     translation_jump_limit=cfg.translation_jump_limit,
                     num_levels=cfg.num_pyr_levels,
                     assoc_period=cfg.assoc_period,
+                    gn_step_eps=cfg.gn_step_eps,
                 )
                 pose_new = se3.make_pose(res.R, res.t)
                 return pose_new, jnp.linalg.norm(res.delta[:3, 3])
@@ -1086,22 +1090,29 @@ class MaskFusion:
     def upload_frame(self, frame: FrameData) -> FrameData:
         """Asynchronously stage a frame's images in device HBM.
 
-        jax.device_put returns immediately; calling this for frame t+1
-        right after dispatching frame t overlaps the host->device transfer
-        (~2 MB/frame, a measurable slice of the frame budget on remote
-        transports) with the previous frame's compute.  process_frame
-        accepts the staged arrays transparently (jnp.asarray is a no-op on
-        committed device arrays)."""
+        The device_put pair runs on a single uploader thread: even though
+        device_put itself is logically async, its HOST-return time on the
+        remote transport measured ~6.6 ms/frame (RPC serialisation holds
+        the caller) — on the uploader thread that cost overlaps the main
+        thread's dispatch work.  process_frame joins the staging future
+        transparently."""
         depth = frame.depth
         if not isinstance(depth, jax.Array) and depth.dtype != np.uint16:
             # uint16 millimetres upload RAW (0.6 MB vs 1.2 MB at VGA) and
             # convert on device inside preprocess; anything else stages as
             # float32 metres
             depth = depth.astype(np.float32)
+        if self._uploader is None:
+            import concurrent.futures
+
+            self._uploader = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="mft-upload")
+        fut = self._uploader.submit(
+            lambda r=frame.rgb, d=depth: (jax.device_put(r),
+                                          jax.device_put(d)))
         return dataclasses.replace(
             frame,
-            rgb=jax.device_put(frame.rgb),
-            depth=jax.device_put(depth),
+            staged_future=fut,
             rgb_host=frame.rgb,
             depth_host=frame.host_depth(),
         )
@@ -1112,6 +1123,11 @@ class MaskFusion:
         t0 = _time.perf_counter()
         cfg = self.cfg
         H, W = self.res.height, self.res.width
+        if frame.staged_future is not None:
+            # join the uploader thread's device_put pair (upload_frame)
+            rgb_dev, depth_dev = frame.staged_future.result()
+            frame = dataclasses.replace(
+                frame, rgb=rgb_dev, depth=depth_dev, staged_future=None)
         # pipelined multi-object scheduling: host work for frame t-1
         # overlaps device work for frame t (zero blocking syncs per frame)
         if (not cfg.static_mode and gt_pose is None and self.ferns is None

@@ -29,6 +29,10 @@ class FrameData:
     # device array (each dynamic-shape op is a remote dispatch + compile)
     rgb_host: Optional[np.ndarray] = None
     depth_host: Optional[np.ndarray] = None
+    # pending async staging (engine.upload_frame's uploader thread): a
+    # Future resolving to (device rgb, device depth).  process_frame joins
+    # it; everything else should use the host mirrors.
+    staged_future: Optional[object] = None
 
     def host_depth(self) -> np.ndarray:
         """Metric float32 depth on the host.  `depth` itself may be staged

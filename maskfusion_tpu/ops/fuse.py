@@ -170,14 +170,27 @@ def fuse(
         p = jnp.pad(arr, pad, constant_values=0)
         return p[max(0, dy):max(0, dy) + H, max(0, dx):max(0, dx) + W]
 
+    # candidate fields packed into ONE (H, W, 8) plane: each tap is a
+    # single pad+shift instead of three (9 taps x 3 separate pads was 27
+    # image-size HBM round trips of relayout).  The slot index rides as f32
+    # (exact to 2^24 — map capacities are <= 2^22); -1 marks dead texels
+    # and pad fill 0 has pos=normal=0, which fails z_ok/norm_ok anyway but
+    # the slot lane's 0 would alias slot 0, so slots are stored +1 with 0
+    # meaning "none".
+    packed = jnp.concatenate([
+        index_map.pos,                                          # 0:3
+        index_map.normal,                                       # 3:6
+        jnp.stack([
+            jnp.where(index_map.index >= 0,
+                      index_map.index + 1, 0).astype(jnp.float32),
+            jnp.zeros((H, W), jnp.float32)], axis=-1),          # 6:8
+    ], axis=-1)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            c_idx = shift2(index_map.index, dy, dx)
-            c_idx = jnp.where(
-                shift2(jnp.ones((H, W), jnp.int32), dy, dx) > 0, c_idx, -1)
-            c_pos = shift2(index_map.pos, dy, dx)
-            c_nr = shift2(index_map.normal, dy, dx)
-            in_img = jnp.ones((H, W), bool)
+            tap = shift2(packed, dy, dx)
+            c_pos = tap[..., 0:3]
+            c_nr = tap[..., 3:6]
+            slot1 = tap[..., 6]
 
             zdiff = c_pos[..., 2] - z_raw
             z_ok = jnp.abs(zdiff * lam) < merge_z_thresh
@@ -190,9 +203,10 @@ def fuse(
             cosang = jnp.sum(c_nr * vnorm_l, axis=-1)
             norm_ok = ((jnp.abs(c_nr[..., 2]) < 0.75)
                        | (cosang > 0.8775826))
-            ok = in_img & (c_idx >= 0) & z_ok & norm_ok & (dist2 < best_dist)
+            ok = (slot1 > 0) & z_ok & norm_ok & (dist2 < best_dist)
             best_dist = jnp.where(ok, dist2, best_dist)
-            best_slot = jnp.where(ok, c_idx, best_slot)
+            best_slot = jnp.where(ok, slot1.astype(jnp.int32) - 1,
+                                  best_slot)
 
     matched = eligible & (best_slot >= 0)
     new_pix = eligible & (best_slot < 0)

@@ -290,12 +290,27 @@ def combined_predict(
     xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
 
     # ---- level-0 scan: exact per-pixel rays over the +-window taps ----
+    # The per-candidate fields are PACKED into one (H, W, 8) plane so each
+    # tap is ONE pad+shift instead of four (25 taps x 4 separate pads was
+    # ~100 image-size HBM round trips — the measured 12.6 ms of the
+    # prediction stage was relayout, not math).  The ray-disk test needs
+    # per-candidate cp·cn (num), |cp|^2 (pp) and cn — miss2 expands to
+    # z*^2 - 2 z* (l·cp) + |cp|^2 with z* = num / (l·cn), so cp rides only
+    # through l·cp and the numerator, both linear in the packed lanes.
+    packed0 = jnp.concatenate([
+        index_map.pos,                                             # 0:3
+        index_map.normal,                                          # 3:6
+        jnp.stack([index_map.radius,
+                   (index_map.index >= 0).astype(jnp.float32)],
+                  axis=-1),                                        # 6:8
+    ], axis=-1)
     for dy in range(-window, window + 1):
         for dx in range(-window, window + 1):
-            cand_idx = shift2(index_map.index, dy, dx, -1)
-            cp = shift2(index_map.pos, dy, dx, 0.0)
-            cn = shift2(index_map.normal, dy, dx, 0.0)
-            crad = shift2(index_map.radius, dy, dx, 0.0)
+            t = shift2(packed0, dy, dx, 0.0)
+            cp = t[..., 0:3]
+            cn = t[..., 3:6]
+            crad = t[..., 6]
+            live = t[..., 7] > 0
 
             denom = jnp.sum(l * cn, axis=-1)
             z_star = jnp.sum(cp * cn, axis=-1) / jnp.where(
@@ -305,7 +320,7 @@ def combined_predict(
             z_cam = hit[..., 2]
             miss2 = jnp.sum((hit - cp) ** 2, axis=-1)
             ok = (
-                (cand_idx >= 0)
+                live
                 & (miss2 <= crad * crad)
                 & (z_cam > 0)
                 & (z_cam <= max_depth)
@@ -335,12 +350,18 @@ def combined_predict(
         csrc = jnp.full((ch, cw), -1, jnp.int32)
         cyy_i = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 0)
         cxx_i = jax.lax.broadcasted_iota(jnp.int32, (ch, cw), 1)
+        packedc = jnp.concatenate([
+            cim.pos, cim.normal,
+            jnp.stack([cim.radius,
+                       (cim.index >= 0).astype(jnp.float32)], axis=-1),
+        ], axis=-1)
         for dy in range(-window, window + 1):
             for dx in range(-window, window + 1):
-                cand_idx = shift2(cim.index, dy, dx, -1)
-                cp = shift2(cim.pos, dy, dx, 0.0)
-                cn = shift2(cim.normal, dy, dx, 0.0)
-                crad = shift2(cim.radius, dy, dx, 0.0)
+                t = shift2(packedc, dy, dx, 0.0)
+                cp = t[..., 0:3]
+                cn = t[..., 3:6]
+                crad = t[..., 6]
+                live = t[..., 7] > 0
                 denom = jnp.sum(cl * cn, axis=-1)
                 z_star = jnp.sum(cp * cn, axis=-1) / jnp.where(
                     jnp.abs(denom) > 1e-12, denom, 1e-12)
@@ -356,7 +377,7 @@ def combined_predict(
                 score = (jnp.floor(z_cam * 20.0) * 1e3
                          + miss2 / jnp.maximum(slack * slack, 1e-12))
                 ok = (
-                    (cand_idx >= 0)
+                    live
                     & (miss2 <= slack * slack)
                     & (z_cam > 0)
                     & (z_cam <= max_depth)

@@ -212,6 +212,7 @@ def get_incremental_transformation(
     assoc_period: int = 1,
     gn_damping: float = 0.0,
     rgb_finest_only: bool = False,
+    gn_step_eps: float = 0.0,
 ) -> OdometryResult:
     """One tracking solve. Structure mirrors RGBDOdometry.cpp:227-497.
 
@@ -444,6 +445,19 @@ def get_incremental_transformation(
             def keep(old, new):
                 return jnp.where(done, old, new)
 
+            out_done = done
+            if gn_step_eps > 0:
+                # convergence cutoff: once the solved increment falls below
+                # eps (metres / radians — orders below sensor noise), the
+                # remaining fixed-schedule iterations are numerically inert;
+                # under the while_loop schedule below they are SKIPPED
+                # outright.  The reference runs the full (10,5,4) schedule
+                # unconditionally (RGBDOdometry.cpp:327-497) because a GPU
+                # warp gains nothing from early exit — a TPU while_loop
+                # does.  This iteration's update still applies (keep() uses
+                # the incoming done); only subsequent ones are elided.
+                out_done = done | (jnp.max(jnp.abs(x)) < gn_step_eps)
+
             return (
                 keep(result_rt, new_result_rt),
                 keep(t_curr, currentT[:3, 3]),
@@ -455,7 +469,7 @@ def get_incremental_transformation(
                 keep(icp_count, new_icp_count),
                 keep(rgb_error, new_rgb_error),
                 keep(rgb_count, new_rgb_count),
-                done,
+                out_done,
             )
 
         carry = (
@@ -472,16 +486,27 @@ def get_incremental_transformation(
         period = (1 if (rgb_only or not use_icp or lvl > 0)
                   else max(1, assoc_period))
         if period == 1:
-            carry = jax.lax.fori_loop(0, iters[lvl], body, carry)
+            if gn_step_eps > 0:
+                # while_loop so converged solves SKIP their remaining
+                # iterations (fori + done-select still executes the body)
+                n_it = iters[lvl]
+
+                def w_cond(s, n_it=n_it):
+                    return (s[0] < n_it) & jnp.logical_not(s[1][10])
+
+                def w_body(s):
+                    j, c = s
+                    return (j + 1, body(j, c))
+
+                _, carry = jax.lax.while_loop(
+                    w_cond, w_body, (jnp.int32(0), carry))
+            else:
+                carry = jax.lax.fori_loop(0, iters[lvl], body, carry)
         else:
             # chunked frozen-association schedule: one searching iteration,
             # then (chunk - 1) gather-free re-linearisations
-            left = iters[lvl]
-            while left > 0:
-                chunk = min(period, left)
-                left -= chunk
-                # --- association iteration (full search, as body does) ---
-                (result_rt_c, t_c, R_c) = carry[0], carry[1], carry[2]
+            def fresh_assoc(c):
+                (result_rt_c, t_c, R_c) = c[0], c[1], c[2]
                 assoc = red.icp_associate(
                     R_c, t_c, frame.vmaps[lvl], frame.nmaps[lvl],
                     R_prev_inv, t_prev, il, vn_packed,
@@ -507,13 +532,40 @@ def get_incremental_transformation(
                         corres, sigma_val, il, didx[lvl], didy[lvl],
                         sobel_scale,
                     )
-                    carry = carry[:3] + (tmp_error,) + carry[4:8] + (
-                        tmp_error, corres.count, carry[10])
+                    c = c[:3] + (tmp_error,) + c[4:8] + (
+                        tmp_error, corres.count, c[10])
                 else:
                     rgb_term = None
-                frozen = (assoc, rgb_term)
+                return (assoc, rgb_term), c
+
+            left = iters[lvl]
+            frozen = None
+            while left > 0:
+                chunk = min(period, left)
+                left -= chunk
+                if frozen is None or gn_step_eps <= 0:
+                    frozen, carry = fresh_assoc(carry)
+                else:
+                    # converged chunks skip the association search (the
+                    # expensive full-res gathers) entirely
+                    frozen, carry = jax.lax.cond(
+                        jnp.logical_not(carry[10]),
+                        lambda args: fresh_assoc(args[0]),
+                        lambda args: (args[1], args[0]),
+                        (carry, frozen))
                 fbody = functools.partial(body, frozen=frozen)
-                carry = jax.lax.fori_loop(0, chunk, fbody, carry)
+                if gn_step_eps > 0:
+                    def wc_cond(s, n_it=chunk):
+                        return (s[0] < n_it) & jnp.logical_not(s[1][10])
+
+                    def wc_body(s, fb=fbody):
+                        j, c = s
+                        return (j + 1, fb(j, c))
+
+                    _, carry = jax.lax.while_loop(
+                        wc_cond, wc_body, (jnp.int32(0), carry))
+                else:
+                    carry = jax.lax.fori_loop(0, chunk, fbody, carry)
         (result_rt, t_curr, R_curr, _, lastA, lastb,
          icp_error, icp_count, rgb_error, rgb_count, _) = carry
 

@@ -206,7 +206,12 @@ obj_state = MapState(
 obj_aux = jnp.asarray([[1.0, 80.0, 160.0], [2.0, 80.0, 160.0]], jnp.float32)
 ids_vec = jnp.asarray([0.0, 1.0, 2.0], jnp.float32)
 
-pds = eng._pipelined_device_stage
+# the pipelined device stage references self.segmenter._edge_binary —
+# needs a multi-object engine (the static eng above has segmenter=None)
+cfg_mo = Config(static_mode=False, seg_method="maskfusion",
+                global_surfel_capacity=1 << 22)
+eng_mo = MaskFusion(Resolution(W, H), intr, cfg_mo)
+pds = eng_mo._pipelined_device_stage
 pds_s = jax.jit(lambda gs, o1, o2, r, d: ssum(*(
     lambda out: (out[3], out[4], out[5], out[0].filt_depth))(
         pds(gs, (o1, o2), obj_aux, ids_vec, r, d, mz, TIME,
