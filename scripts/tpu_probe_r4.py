@@ -4,6 +4,7 @@ Scalar-probe methodology (CLAUDE.md): N pipelined dispatches returning ONE
 scalar + one final device_get; floor ~1.5 ms/iter subtracted mentally.
 """
 import sys, time
+import traceback
 sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
 # env-var route is silently ignored (sitecustomize imports jax first)
@@ -189,7 +190,7 @@ try:
     timeit("obj fuse_clean_predict_win (1 obj)",
            lambda: ofcp_s(ost, prep, rj))
 except Exception as e:
-    print("obj fcp probe failed:", e, flush=True)
+    print("obj fcp probe failed:", e, flush=True); traceback.print_exc()
 
 # ---- pipelined two-object stages (the multi-object bench's dispatches) ----
 print("---- pipelined stages: glob + 2 objects ----", flush=True)
@@ -221,7 +222,7 @@ try:
     timeit("pipelined_device_stage (glob+2 obj win)",
            lambda: pds_s(st, obj_state, obj_state, rj, dj16))
 except Exception as e:
-    print("pds probe failed:", e, flush=True)
+    print("pds probe failed:", e, flush=True); traceback.print_exc()
 pds0_s = jax.jit(lambda gs, r, d: ssum(*(
     lambda out: (out[3], out[4], out[5], out[0].filt_depth))(
         pds(gs, (), jnp.zeros((0, 3), jnp.float32),
@@ -231,7 +232,7 @@ try:
     timeit("pipelined_device_stage (glob only)",
            lambda: pds0_s(st, rj, dj16))
 except Exception as e:
-    print("pds0 probe failed:", e, flush=True)
+    print("pds0 probe failed:", e, flush=True); traceback.print_exc()
 
 pfsw = jax.jit(eng._pipelined_fuse_stage.__wrapped__,
                static_argnames=("glob_bucket", "obj_bucket", "parity",
@@ -257,7 +258,7 @@ try:
     timeit("pipelined_fuse_stage (glob+2 obj win)",
            lambda: pfs_s(st, obj_state, obj_state, prep, rj))
 except Exception as e:
-    print("pfs probe failed:", e, flush=True)
+    print("pfs probe failed:", e, flush=True); traceback.print_exc()
 pfs0_s = jax.jit(lambda gs, p, r: consume_fuse(
     pfsw(gs, (), p, r, seg2, prev3[:1], TIME,
          jnp.zeros((0, 6), jnp.float32),
@@ -266,7 +267,7 @@ try:
     timeit("pipelined_fuse_stage (glob only)",
            lambda: pfs0_s(st, prep, rj))
 except Exception as e:
-    print("pfs0 probe failed:", e, flush=True)
+    print("pfs0 probe failed:", e, flush=True); traceback.print_exc()
 
 # upload-bandwidth floor: stage one frame (u8 rgb + u16 depth) and sum it
 up_s = jax.jit(lambda r, d: jnp.sum(r.astype(jnp.float32))
