@@ -176,27 +176,40 @@ def bench_nn_in_loop():
     worker = MaskRCNNWorker(inference, queue)
     labelled = 0
 
-    def pump(frame):
+    def consume(out):
         nonlocal labelled
-        queue.push(frame)
-        out = queue.pop_ready()
-        while out is None and len(queue):
-            time.sleep(0.002)
-            out = queue.pop_ready()
-        if out is not None and out.mask is not None:
-            labelled += 1
         if out is not None:
+            if out.mask is not None:
+                labelled += 1
             engine.process_frame(out)
+
+    def pump(frame):
+        # NON-blocking: push, then process whatever the delay queue
+        # releases (labelled head, or unlabelled head on overflow).  SLAM
+        # must NOT gate on the NN — the reference's worker runs at its own
+        # pace and frames exit unlabelled when it falls > queue-depth
+        # behind (MaskFusion.cpp:206-209); a per-frame wait here measured
+        # the NN lane's wall latency (3.1 FPS), not the async design.
+        queue.push(frame)
+        consume(queue.pop_ready())
+
+    def drain_queue():
+        # end of stream: flush remaining frames (unlabelled heads exit as
+        # an overflowing queue would have released them)
+        while len(queue):
+            consume(queue.pop_ready(flush=True))
 
     try:
         for f in frames[:n_warm]:
             pump(f)
+        drain_queue()
         engine.drain_pipeline()
         t0 = time.perf_counter()
         n_in = 0
         for f in frames[n_warm:]:
             pump(f)
             n_in += 1
+        drain_queue()
         engine.drain_pipeline()
         jax.block_until_ready(engine.models[0].state.pose)
         total = time.perf_counter() - t0

@@ -303,13 +303,13 @@ def main(argv=None):
             # overlap is static-mode only)
             pending = engine.upload_frame(pending)
         if nn_queue is not None:
-            # delay-queue semantics: consume frames only once labelled
-            # (or the queue overflows)
+            # delay-queue semantics: consume frames only once labelled (or
+            # the queue overflows).  NON-blocking — SLAM must not gate on
+            # the NN lane; the reference's worker runs at its own pace and
+            # frames exit unlabelled when it falls > queue-depth behind
+            # (MaskFusion.cpp:206-209).
             nn_queue.push(frame)
             frame = nn_queue.pop_ready()
-            while frame is None and len(nn_queue):
-                time.sleep(0.002)
-                frame = nn_queue.pop_ready()
             if frame is None:
                 continue
         if cfg.end_frame is not None and frame.index >= cfg.end_frame:
@@ -349,16 +349,14 @@ def main(argv=None):
                     reader.get_next()
 
     if nn_queue is not None:
-        # drain the queue at end of log
-        frame = nn_queue.pop_ready()
-        while frame is not None or len(nn_queue):
+        # drain the queue at end of log: flush-pop so an unlabelled head
+        # (the worker labels newest-first) cannot starve the drain
+        while len(nn_queue):
+            frame = nn_queue.pop_ready(flush=True)
             if frame is not None:
                 gt_pose = gt.get_pose(frame.timestamp) if gt else None
                 engine.process_frame(frame, gt_pose=gt_pose)
                 n += 1
-            else:
-                time.sleep(0.002)
-            frame = nn_queue.pop_ready()
         nn_worker.stop()
 
     if live is not None:

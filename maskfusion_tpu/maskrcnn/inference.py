@@ -162,13 +162,20 @@ class FrameQueue:
         with self._lock:
             self._frames.append(frame)
 
-    def pop_ready(self) -> Optional[FrameData]:
-        """Oldest frame, but only once labelled or the queue is full."""
+    def pop_ready(self, flush: bool = False) -> Optional[FrameData]:
+        """Oldest frame, but only once labelled or the queue is full.
+
+        ``flush=True`` (end of stream) pops the head regardless: with no
+        more pushes arriving the queue can never reach `size`, and the
+        worker labels newest-first, so an unlabelled head would otherwise
+        wait forever — it exits unlabelled exactly as an overflowing queue
+        would have dropped it (MaskFusion.cpp:206-209 lag semantics)."""
         with self._lock:
             if not self._frames:
                 return None
             head = self._frames[0]
-            if head.mask is not None or len(self._frames) >= self.size:
+            if (head.mask is not None or len(self._frames) >= self.size
+                    or flush):
                 return self._frames.pop(0)
             return None
 

@@ -240,6 +240,8 @@ def combined_predict(
     max_depth,
     window: int = 2,
     coarse: "tuple[IndexMap, int] | None" = None,
+    pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> Prediction:
     """Per-pixel gather splatting over the index map.
 
@@ -270,14 +272,8 @@ def combined_predict(
     lnorm = jnp.sqrt(lx * lx + ly * ly + 1.0)
     l = jnp.stack([lx / lnorm, ly / lnorm, 1.0 / lnorm], axis=-1)
 
-    best_z = jnp.full((H, W), jnp.inf, jnp.float32)
-    # phase 1 tracks only (best_z, best_src, normal): the winning
-    # candidate's row in the concatenated field tables.  Everything else
-    # about the winner (color/conf/time) is fetched afterwards with ONE
-    # packed row-gather — tracking all fields through every tap's select
-    # was ~3x the arithmetic for no information gain.
-    best_src = jnp.full((H, W), -1, jnp.int32)
-    best_normal = jnp.zeros((H, W, 3), jnp.float32)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
 
     def shift2(arr, dy, dx, fill):
         h, w = arr.shape[:2]
@@ -286,51 +282,64 @@ def combined_predict(
         p = jnp.pad(arr, pad, constant_values=fill)
         return p[max(0, dy):max(0, dy) + h, max(0, dx):max(0, dx) + w]
 
-    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-
     # ---- level-0 scan: exact per-pixel rays over the +-window taps ----
-    # The per-candidate fields are PACKED into one (H, W, 8) plane so each
-    # tap is ONE pad+shift instead of four (25 taps x 4 separate pads was
-    # ~100 image-size HBM round trips — the measured 12.6 ms of the
-    # prediction stage was relayout, not math).  The ray-disk test needs
-    # per-candidate cp·cn (num), |cp|^2 (pp) and cn — miss2 expands to
-    # z*^2 - 2 z* (l·cp) + |cp|^2 with z* = num / (l·cn), so cp rides only
-    # through l·cp and the numerator, both linear in the packed lanes.
-    packed0 = jnp.concatenate([
-        index_map.pos,                                             # 0:3
-        index_map.normal,                                          # 3:6
-        jnp.stack([index_map.radius,
-                   (index_map.index >= 0).astype(jnp.float32)],
-                  axis=-1),                                        # 6:8
-    ], axis=-1)
-    for dy in range(-window, window + 1):
-        for dx in range(-window, window + 1):
-            t = shift2(packed0, dy, dx, 0.0)
-            cp = t[..., 0:3]
-            cn = t[..., 3:6]
-            crad = t[..., 6]
-            live = t[..., 7] > 0
+    # phase 1 tracks only (best_z, best_src): the winning candidate's row
+    # in the concatenated field tables.  Everything else about the winner
+    # (normal/color/conf/time) is fetched afterwards with ONE packed
+    # row-gather — tracking fields through every tap's select was ~3x the
+    # arithmetic for no information gain.
+    if pallas:
+        # row-tiled VMEM-resident scan: the XLA lowering below pays ~25
+        # image-size HBM round trips of tap relayout (13.4 ms in-context
+        # at VGA); the Pallas kernel pays one.
+        from maskfusion_tpu.ops import pallas_kernels
 
-            denom = jnp.sum(l * cn, axis=-1)
-            z_star = jnp.sum(cp * cn, axis=-1) / jnp.where(
-                jnp.abs(denom) > 1e-12, denom, 1e-12
-            )
-            hit = l * z_star[..., None]
-            z_cam = hit[..., 2]
-            miss2 = jnp.sum((hit - cp) ** 2, axis=-1)
-            ok = (
-                live
-                & (miss2 <= crad * crad)
-                & (z_cam > 0)
-                & (z_cam <= max_depth)
-                & (z_cam < best_z)
-            )
-            best_z = jnp.where(ok, z_cam, best_z)
-            src = (jnp.clip(yy + dy, 0, H - 1) * W
-                   + jnp.clip(xx + dx, 0, W - 1))
-            best_src = jnp.where(ok, src, best_src)
-            best_normal = jnp.where(ok[..., None], cn, best_normal)
+        best_z, best_srcf = pallas_kernels.predict_l0_scan_pallas(
+            index_map.pos, index_map.normal, index_map.radius,
+            index_map.index >= 0,
+            intr.fx, intr.fy, intr.cx, intr.cy,
+            max_depth, window=window, interpret=pallas_interpret)
+        best_src = best_srcf.astype(jnp.int32)
+    else:
+        best_z = jnp.full((H, W), jnp.inf, jnp.float32)
+        best_src = jnp.full((H, W), -1, jnp.int32)
+
+        # The per-candidate fields are PACKED into one (H, W, 8) plane so
+        # each tap is ONE pad+shift instead of four (25 taps x 4 separate
+        # pads was ~100 image-size HBM round trips).
+        packed0 = jnp.concatenate([
+            index_map.pos,                                             # 0:3
+            index_map.normal,                                          # 3:6
+            jnp.stack([index_map.radius,
+                       (index_map.index >= 0).astype(jnp.float32)],
+                      axis=-1),                                        # 6:8
+        ], axis=-1)
+        for dy in range(-window, window + 1):
+            for dx in range(-window, window + 1):
+                t = shift2(packed0, dy, dx, 0.0)
+                cp = t[..., 0:3]
+                cn = t[..., 3:6]
+                crad = t[..., 6]
+                live = t[..., 7] > 0
+
+                denom = jnp.sum(l * cn, axis=-1)
+                z_star = jnp.sum(cp * cn, axis=-1) / jnp.where(
+                    jnp.abs(denom) > 1e-12, denom, 1e-12
+                )
+                hit = l * z_star[..., None]
+                z_cam = hit[..., 2]
+                miss2 = jnp.sum((hit - cp) ** 2, axis=-1)
+                ok = (
+                    live
+                    & (miss2 <= crad * crad)
+                    & (z_cam > 0)
+                    & (z_cam <= max_depth)
+                    & (z_cam < best_z)
+                )
+                best_z = jnp.where(ok, z_cam, best_z)
+                src = (jnp.clip(yy + dy, 0, H - 1) * W
+                       + jnp.clip(xx + dx, 0, W - 1))
+                best_src = jnp.where(ok, src, best_src)
 
     tables = [index_map]
     if coarse is not None:
@@ -421,12 +430,12 @@ def combined_predict(
         )
         best_z = jnp.where(ok, z_cam, best_z)
         best_src = jnp.where(ok, src.reshape(H, W), best_src)
-        best_normal = jnp.where(ok[..., None], cn, best_normal)
 
-    # phase 2: fetch the winner's appearance attributes in one row-gather
-    # over the concatenated tables
+    # phase 2: fetch the winner's normal + appearance attributes in one
+    # packed row-gather over the concatenated tables
     attr = jnp.concatenate([
         jnp.concatenate([
+            t.normal.reshape(-1, 3),
             t.color.reshape(-1, 3),
             t.conf.reshape(-1, 1),
             t.init_time.reshape(-1, 1),
@@ -436,9 +445,10 @@ def combined_predict(
     rows = attr[jnp.clip(best_src.reshape(-1), 0)]
     found = best_src.reshape(-1) >= 0
     rows = jnp.where(found[:, None], rows, 0.0)
-    color = rows[:, 0:3].reshape(H, W, 3)
-    conf = rows[:, 3].reshape(H, W)
-    time_w = rows[:, 4].reshape(H, W)
+    best_normal = rows[:, 0:3].reshape(H, W, 3)
+    color = rows[:, 3:6].reshape(H, W, 3)
+    conf = rows[:, 6].reshape(H, W)
+    time_w = rows[:, 7].reshape(H, W)
 
     holes = jnp.isinf(best_z)
     hit_pos = l * jnp.where(holes, 0.0, best_z)[..., None] / l[..., 2:3]
