@@ -9,10 +9,41 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
+
+
+def _scrub_truncated_cache_entries(cache_dir="/root/repo/.jax_cache"):
+    """Delete compile-cache entries truncated by a mid-compile kill: a
+    half-written zstd frame errors ("did not decompress full frame") on
+    every later load and forces a 90-230 s remote recompile each process
+    start (observed 2026-08-19).  Full-decompress scan is ~ms per entry."""
+    try:
+        import zstandard
+    except ImportError:
+        return
+    if not os.path.isdir(cache_dir):
+        return
+    for name in os.listdir(cache_dir):
+        path = os.path.join(cache_dir, name)
+        if not os.path.isfile(path):
+            continue
+        try:
+            with open(path, "rb") as f:
+                reader = zstandard.ZstdDecompressor().stream_reader(f)
+                while reader.read(1 << 20):
+                    pass
+        except Exception:
+            try:
+                os.unlink(path)
+                print(f"scrubbed truncated cache entry {name}",
+                      file=sys.stderr)
+            except OSError:
+                pass
 
 
 def _enable_compile_cache():
@@ -27,9 +58,41 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+_scrub_truncated_cache_entries()
 _enable_compile_cache()
 
 BASELINE_FPS = 30.0
+
+# Wall-clock discipline (round 4 lesson: the driver's bench run hit its
+# timeout inside the optional NN bench, so the final static re-print never
+# happened and the recorded headline was the lower two-object line).  The
+# optional benches only START while elapsed < budget, and a SIGTERM from
+# `timeout` flushes the already-measured headline before dying.
+_T_START = time.monotonic()
+_BUDGET_S = float(os.environ.get("MFT_BENCH_BUDGET", "600"))
+_HEADLINE = None
+
+
+def _elapsed():
+    return time.monotonic() - _T_START
+
+
+def _over_budget(label):
+    if _elapsed() >= _BUDGET_S:
+        print(f"skipping {label}: elapsed {_elapsed():.0f}s >= budget "
+              f"{_BUDGET_S:.0f}s", file=sys.stderr)
+        return True
+    return False
+
+
+def _flush_headline_and_exit(signum, frame):
+    if _HEADLINE is not None:
+        print(json.dumps(_HEADLINE), flush=True)
+        os._exit(0)
+    os._exit(124)
+
+
+signal.signal(signal.SIGTERM, _flush_headline_and_exit)
 
 
 def make_frames(width, height, n):
@@ -283,20 +346,24 @@ def main():
 
 
 if __name__ == "__main__":
-    import os
-
     headline = main()
-    # second bench line: the reference's headline MODE (multi-object SLAM
-    # with per-frame segmentation).  The static headline is re-printed last
-    # so a last-line parser always sees it.
-    if not os.environ.get("MFT_BENCH_SKIP_MULTI"):
-        try:
-            bench_two_objects()
-        except Exception as e:  # never let the multi bench mask the headline
-            print(f"two-object bench failed: {e!r}", file=sys.stderr)
-        if not os.environ.get("MFT_BENCH_SKIP_NN"):
-            try:
-                bench_nn_in_loop()
-            except Exception as e:
-                print(f"nn-in-loop bench failed: {e!r}", file=sys.stderr)
+    _HEADLINE = headline
+    # second/third bench lines: the reference's headline MODE (multi-object
+    # SLAM with per-frame segmentation) and the SLAM+NN-in-loop mode.  Both
+    # are budget-gated and exception-proofed; the static headline is
+    # ALWAYS re-printed last (try/finally) so a last-line parser sees it.
+    try:
+        if not os.environ.get("MFT_BENCH_SKIP_MULTI"):
+            if not _over_budget("two-object bench"):
+                try:
+                    bench_two_objects()
+                except Exception as e:
+                    print(f"two-object bench failed: {e!r}", file=sys.stderr)
+            if (not os.environ.get("MFT_BENCH_SKIP_NN")
+                    and not _over_budget("nn-in-loop bench")):
+                try:
+                    bench_nn_in_loop()
+                except Exception as e:
+                    print(f"nn-in-loop bench failed: {e!r}", file=sys.stderr)
+    finally:
         print(json.dumps(headline), flush=True)
