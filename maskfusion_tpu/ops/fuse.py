@@ -127,6 +127,14 @@ def fuse(
     traced-parity dense path (used when `time` is not known at trace
     time)."""
     H, W = vmap_raw.shape[:2]
+    # the packed tap table below carries the merge-target slot index as
+    # f32 (+1) — exact only below 2^24.  Capacity is a static shape, so
+    # fail at trace time rather than silently rounding slot indices and
+    # fusing updates into the wrong surfels.
+    if m.capacity >= (1 << 24):
+        raise ValueError(
+            f"surfel capacity {m.capacity} >= 2^24: the packed f32 slot "
+            "lane in fuse's tap table cannot represent it exactly")
     R = pose[:3, :3]
     t = pose[:3, 3]
 
