@@ -108,18 +108,6 @@ class Model:
     def surfel_count(self) -> int:
         return int(self.state.map.count)
 
-    def bucket(self) -> int:
-        from maskfusion_tpu.mapping import surfel_map as _sm
-
-        # object maps hold tens of thousands of surfels; the global 256k
-        # bucket floor would make every vmapped per-object pass pay ~10x
-        # dead rows (the per-surfel costs scale with bucket, not count)
-        minimum = (1 << 18) if self.model_id == 0 else (1 << 16)
-        b = _sm.choose_bucket(self.surfel_count, self.state.map.capacity,
-                              minimum=minimum, current=self.last_bucket)
-        self.last_bucket = b
-        return b
-
 
 class MaskFusion:
     """Host-side engine mirroring the public surface of the reference
@@ -131,6 +119,12 @@ class MaskFusion:
         self.res = resolution
         self.intr = intr
         self.cfg = config or Config()
+        # per-device-generation tuning (GPUConfig.h:50-146 analogue):
+        # bucket floors/headroom + diagnostics cadence keyed on device kind
+        from maskfusion_tpu.utils.tuning import get_tuning
+
+        self._tuning = get_tuning()
+        self.DIAG_INTERVAL = self._tuning.diag_interval
         # Multi-chip model-axis parallelism (replaces the reference's
         # sequential per-model loop, MaskFusion.cpp:246-278): with a
         # jax.sharding.Mesh, the object-stacked axis inside the pipelined
@@ -1021,25 +1015,12 @@ class MaskFusion:
                              "windowed"))
 
     def _shard_model_axis(self, tree):
-        """GSPMD sharding constraint on a leading model-stacked axis: with a
-        mesh, each device owns a shard of the object models through the
-        vmapped tracking/fuse graphs (parallel.multimodel's axis, wired into
-        the engine).  No-op without a mesh, or when the model count doesn't
-        tile the mesh axis (GSPMD needs divisibility; odd counts replicate,
-        which is always correct)."""
-        mesh = self._model_mesh
-        if mesh is None:
-            return tree
-        from jax.sharding import NamedSharding, PartitionSpec
+        """Model-axis GSPMD sharding on a leading model-stacked axis —
+        delegates to the single shared implementation in
+        parallel.multimodel (used here, by the dryrun, and by tests)."""
+        from maskfusion_tpu.parallel.multimodel import shard_model_axis
 
-        leaves = jax.tree.leaves(tree)
-        n = leaves[0].shape[0] if leaves else 0
-        size = mesh.shape.get(self._model_axis, 1)
-        if n == 0 or size <= 1 or n % size:
-            return tree
-        sh = NamedSharding(mesh, PartitionSpec(self._model_axis))
-        return jax.tree.map(
-            lambda x: jax.lax.with_sharding_constraint(x, sh), tree)
+        return shard_model_axis(self._model_mesh, self._model_axis, tree)
 
     # ------------------------------------------------------------ lifecycle
     def _get_next_model_id(self, assign: bool) -> int:
@@ -1370,8 +1351,14 @@ class MaskFusion:
         each frame (see _pipelined_step) and consumed one frame stale — safe
         because bucket overflow is a soft failure (dropped appends re-apply
         next frame) and choose_bucket adds headroom."""
-        minimum = (1 << 18) if model.model_id == 0 else (1 << 16)
-        headroom = 81920 if model.model_id == 0 else 16384
+        tun = self._tuning
+        if model.model_id == 0:
+            minimum, headroom = tun.min_bucket_global, tun.headroom_global
+        else:
+            # object maps hold tens of thousands of surfels; the global
+            # bucket floor would make every vmapped per-object pass pay
+            # ~10x dead rows (per-surfel costs scale with bucket, not count)
+            minimum, headroom = tun.min_bucket_object, tun.headroom_object
         if self._pipelined_active and model.count_est >= 0:
             count = model.count_est
         else:
@@ -1627,11 +1614,16 @@ class MaskFusion:
 
             if cfg.spawn_subtraction:
                 # eraseErrorGeometry (MaskFusion.cpp:355-358): carve
-                # global surfels lying on the spawned object's surface
+                # global surfels lying on the spawned object's surface.
+                # The carve uses the SPAWN FRAME's world pose `gp` (same
+                # as init_map above): glob.state.pose is the newest
+                # dispatched frame's pose — up to pipeline_depth frames
+                # ahead in prefused mode — and would misregister the carve
+                # against the spawn frame's seg/depth under camera motion.
                 gmap, _erased = self._erase_error(
                     glob.state.map, jnp.asarray(seg_mask_np),
                     jnp.uint8(new_id), prep.filt_depth,
-                    glob.state.pose,
+                    jnp.asarray(gp.astype(np.float32)),
                     bucket=self._bucket_for(glob),
                 )
                 glob.state = glob.state._replace(map=gmap)
@@ -1765,9 +1757,17 @@ class MaskFusion:
             parity=parity, windowed=windowed, gate=gate,
             ids_guard=ids_guard)
         glob.state = new_glob
+        # first-fuse bookkeeping is provisional here: the device-side gate
+        # may select this whole fuse away (tracking failed), in which case
+        # the newborn never actually received the 100x first-fuse weight
+        # multiplier (computeFusionWeight's !fused_once path).  _finish_one
+        # reads the same frame's covariance from hostvec and RESTORES
+        # fused_once=False for these models when the gate was closed.
+        first_fused = [m for m in objs if not m.fused_once]
         for m, s in zip(objs, new_objs):
             m.state = s
             m.fused_once = True
+        return first_fused
 
     # --------------------------------------------- pipelined multi-object
     def _track_models_device(self, prep):
@@ -1873,7 +1873,14 @@ class MaskFusion:
           MainController.cpp:223)."""
         cfg = self.cfg
         self._pipelined_active = True
-        prefused = bool(cfg.fuse_mask_lag)
+        # rgb_only is static config: fusion must NEVER run (the reference
+        # gates on `!rgbOnly && trackingOk && !lost`, MaskFusion.cpp:539).
+        # The prefused schedule would dispatch fuse unconditionally with
+        # only the covariance gate, so rgb_only forces the lagfuse schedule
+        # whose host-side do_fuse honours it.  self.lost is unreachable
+        # here: pipelining requires ferns is None, and lost is only ever
+        # set by the relocalisation branch.
+        prefused = bool(cfg.fuse_mask_lag) and not cfg.rgb_only
         # ---- host stage(s): finish frames whose results arrived ----
         if prefused:
             self._drain_ready_pipe()
@@ -1908,6 +1915,14 @@ class MaskFusion:
             not trackable
             or all(m.class_id in trackable for m in objs)
         ) and len({m.state.map.capacity for m in objs}) <= 1
+        # schedule transition (e.g. a non-trackable-class model appeared):
+        # drain ALL pending records first, so a lagfuse frame t's fuse can
+        # never be dispatched AFTER frames t+1..t+k's prefused fuses —
+        # fuse dispatch order stays monotonic in tick and the device
+        # `time` argument that time-based cleaning consumes never regresses
+        new_kind = "prefused" if (prefused and fused_ok) else "lagfuse"
+        if self._pending and self._pending[-1]["kind"] != new_kind:
+            self.drain_pipeline()
         if fused_ok:
             # ONE dispatch for the whole pre-segmentation device stage;
             # prev_pose bookkeeping and pose logging ride the hostvec
@@ -1936,12 +1951,13 @@ class MaskFusion:
             tracked = list(objs)
             for x in (ids_dev, nonedge_dev, hostvec):
                 self._start_async_copy(x)
+            first_fused = []
             if prefused:
                 # fuse(t) rides the device queue immediately: newest
                 # device-resident seg (guarded by the same-frame id
                 # projection) + device-side tracking-ok gate
                 with self.stopwatch.scope("fuse"):
-                    self._dispatch_fuse_prefused(
+                    first_fused = self._dispatch_fuse_prefused(
                         prep, rgb, prev_seg, self.tick, prev_poses_dev,
                         okf, glob, objs, glob_bucket, obj_bucket, windowed,
                         ids_guard=ids_dev)
@@ -1950,6 +1966,7 @@ class MaskFusion:
                 frame=frame, prep=prep, rgb=rgb, ids=ids_dev,
                 nonedge=nonedge_dev, hostvec=hostvec,
                 tracked=tracked, tick=self.tick,
+                first_fused=first_fused,
                 count_models=list(self.models)))
         else:
             for model in self.models:
@@ -2025,6 +2042,14 @@ class MaskFusion:
             self._last_count = int(counts[0])
         tracking_ok = cov <= self._cov_thresh
         self._last_tracking_ok = tracking_ok
+        if not tracking_ok:
+            # the prefused fuse of THIS frame was gated away device-side;
+            # restore the first-fuse weight boost for newborns whose first
+            # fuse landed on it (the boost applies on the actual first
+            # applied fuse, Model::computeFusionWeight semantics)
+            for m in P.get("first_fused") or []:
+                if m in self.models:
+                    m.fused_once = False
         if jumps is not None:
             for model, jump in zip(P["tracked"], jumps):
                 if (float(jump) > cfg.model_deactivate_jump
@@ -2077,6 +2102,8 @@ class MaskFusion:
         while pending:
             self._finish_one(pending.popleft())
 
+    # class-level fallback; overridden per instance from the DeviceTuning
+    # registry (utils/tuning.py) at construction
     DIAG_INTERVAL = 8
 
     def flush_diagnostics(self):
@@ -2096,7 +2123,8 @@ class MaskFusion:
         self._frames_since_flush = 0
         glob = self.models[0] if self.models else None
         if glob is not None and glob.last_bucket and (
-                self._last_count + 81920 > glob.last_bucket):
+                self._last_count + self._tuning.headroom_global
+                > glob.last_bucket):
             # flush shows the count near the bucket ceiling: pump the
             # bucket up a step now rather than risk clamped appends
             glob.last_bucket = sm.choose_bucket(
@@ -2134,31 +2162,35 @@ class MaskFusion:
         """Local loop closure: deformation-graph optimisation over the fern
         constraints, accepted on the reference's thresholds
         (Deformation::constrain, Deformation.cpp:75-180)."""
-        from maskfusion_tpu.mapping import surfel_map as sm
         from maskfusion_tpu.reloc.deformation import DeformationGraph
 
         n = glob.surfel_count
         if n < 100 or not res.constraints:
             return False
-        pos = np.asarray(glob.state.map.pos[:n])
+        # node sampling (Deformation::sampleGraphModel semantics: systematic
+        # stride in init-time order, <=1024 nodes) WITHOUT downloading the
+        # map: only init_time[:n] (4 bytes/surfel) and the 1024 sampled
+        # node positions cross the wire.
         times = np.asarray(glob.state.map.init_time[:n])
-        graph = DeformationGraph.sample_from_map(
-            pos, times, max_nodes=self.cfg.deformation_max_nodes)
+        max_nodes = self.cfg.deformation_max_nodes
+        order = np.argsort(times)
+        step = max(1, n // max_nodes)
+        idx = order[::step][:max_nodes]
+        node_pos = np.asarray(
+            glob.state.map.pos[jnp.asarray(idx, jnp.int32)])
+        graph = DeformationGraph(node_pos, times[idx])
         for c in res.constraints:
             graph.add_constraint(c.source_point, c.target_point)
         total, mean_cons = graph.optimise()
         if not (mean_cons < 0.0003 and total < 0.12):
             return False
-        normals = np.asarray(glob.state.map.normal[:n])
-        new_pos, new_norm = graph.apply_to_points(pos, normals)
-        full_pos = np.array(glob.state.map.pos)
-        full_norm = np.array(glob.state.map.normal)
-        full_pos[:n] = new_pos
-        full_norm[:n] = new_norm
+        # apply the accepted graph ON DEVICE: the map's pos/normal never
+        # round-trip to host (previously 2x full-capacity downloads +
+        # uploads per closure; at the 9.4M default that is ~450 MB of wire)
+        new_pos, new_norm = graph.apply_to_map_device(
+            glob.state.map.pos, glob.state.map.normal, n)
         glob.state = glob.state._replace(map=glob.state.map._replace(
-            pos=jnp.asarray(full_pos.astype(np.float32)),
-            normal=jnp.asarray(full_norm.astype(np.float32)),
-        ))
+            pos=new_pos, normal=new_norm))
         for fframe in self.ferns.frames:
             fframe.pose = graph.apply_to_pose(fframe.pose)
         return True

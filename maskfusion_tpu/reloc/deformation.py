@@ -423,11 +423,7 @@ class DeformationGraph:
 
         P = len(pts)
         k = min(K_NEIGHBOURS, self.n)
-        A = self.A.astype(np.float64)
-        invT = np.linalg.inv(A).transpose(0, 2, 1)
-        tab = np.concatenate([
-            A.reshape(self.n, 9), self.t, self.g, invT.reshape(self.n, 9),
-        ], axis=1).astype(np.float32)                      # (G, 24)
+        tab = self._node_table()                           # (G, 24)
         g32 = self.g.astype(np.float32)
         n_pad = (P + chunk - 1) // chunk * chunk
         pts32 = np.zeros((n_pad, 3), np.float32)
@@ -444,6 +440,44 @@ class DeformationGraph:
             nrm = np.asarray(nout).reshape(n_pad, 3)[:P].astype(np.float64)
             return out, nrm
         return out
+
+    def _node_table(self):
+        """(G, 24) f32 per-node blend table [A(9), t(3), g(3), invT(9)] —
+        the only state the device apply needs (copy_unstable.vert:161-341
+        serialises the same 16-float/node texture, Deformation.cpp:154-162)."""
+        A = self.A.astype(np.float64)
+        invT = np.linalg.inv(A).transpose(0, 2, 1)
+        return np.concatenate([
+            A.reshape(self.n, 9), self.t, self.g,
+            invT.reshape(self.n, 9),
+        ], axis=1).astype(np.float32)
+
+    def apply_to_map_device(self, pos, normal, count):
+        """Deform a surfel map's DEVICE-resident (cap, 3) pos/normal arrays
+        without any host download/upload of the map: only the tiny (G, 24)
+        node table crosses the wire.  Rows at or beyond `count` (dead slots)
+        keep their original values.  Returns new (pos, normal) device
+        arrays — the engine's loop-closure fast path
+        (copy_unstable.vert:161-341 applies the same blend in-shader)."""
+        import jax
+        import jax.numpy as jnp
+
+        cap = pos.shape[0]
+        k = min(K_NEIGHBOURS, self.n)
+        chunk = 65536
+        n_pad = (cap + chunk - 1) // chunk * chunk
+        pad = n_pad - cap
+        pos_p = jnp.pad(pos, ((0, pad), (0, 0))) if pad else pos
+        nrm_p = jnp.pad(normal, ((0, pad), (0, 0))) if pad else normal
+        out_p, out_n = _apply_chunks_jit(
+            pos_p.reshape(-1, chunk, 3), nrm_p.reshape(-1, chunk, 3),
+            jnp.asarray(self.g.astype(np.float32)),
+            jnp.asarray(self._node_table()), k)
+        live = (jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+                < jnp.asarray(count, jnp.int32))
+        new_pos = jnp.where(live, out_p.reshape(n_pad, 3)[:cap], pos)
+        new_nrm = jnp.where(live, out_n.reshape(n_pad, 3)[:cap], normal)
+        return new_pos, new_nrm
 
     def _apply_points_host(self, pts: np.ndarray,
                            normals: Optional[np.ndarray] = None):

@@ -201,3 +201,62 @@ def test_deformation_device_apply_large():
     o_h, n_h = g._apply_points_host(pos, nrm)
     assert np.abs(o_d - o_h).max() < 1e-5
     assert np.abs(n_d - n_h).max() < 1e-5
+
+
+def test_deformation_apply_to_map_device():
+    """apply_to_map_device deforms the live prefix of device-resident map
+    arrays without a host round trip: matches apply_to_points on rows
+    < count and leaves dead slots untouched (the engine loop-closure fast
+    path, MaskFusion.cpp:423-537 + copy_unstable.vert:161-341)."""
+    import jax.numpy as jnp
+
+    from maskfusion_tpu.reloc.deformation import DeformationGraph
+
+    rng = np.random.default_rng(3)
+    cap, count = 4096, 3000
+    pos = np.zeros((cap, 3), np.float32)
+    pos[:count] = rng.uniform(-1, 1, (count, 3))
+    nrm = np.zeros((cap, 3), np.float32)
+    nrm[:count] = [0.0, 0.0, 1.0]
+    g = DeformationGraph.sample_from_map(
+        pos[:count], np.arange(float(count)), max_nodes=64)
+    g.add_constraint(pos[7], pos[7] + [0.015, 0.0, 0.0])
+    g.optimise(iterations=1)
+
+    pos_d, nrm_d = jnp.asarray(pos), jnp.asarray(nrm)
+    new_p, new_n = g.apply_to_map_device(pos_d, nrm_d, count)
+    new_p, new_n = np.asarray(new_p), np.asarray(new_n)
+    ref_p, ref_n = g.apply_to_points(pos[:count], nrm[:count], device=False)
+    assert np.abs(new_p[:count] - ref_p).max() < 1e-5
+    assert np.abs(new_n[:count] - ref_n).max() < 1e-5
+    # dead slots beyond count are bit-identical to their inputs
+    np.testing.assert_array_equal(new_p[count:], pos[count:])
+    np.testing.assert_array_equal(new_n[count:], nrm[count:])
+
+
+def test_engine_close_loops_with_pipelined_config():
+    """-rl/close-loops with pipelined_multiobject requested: the engine
+    falls back to the synchronous schedule (pipelining requires ferns is
+    None — documented fallback) and the run stays healthy."""
+    from maskfusion_tpu.config import Config
+    from maskfusion_tpu.engine import MaskFusion
+    from maskfusion_tpu.frame import FrameData
+
+    cfg = Config(global_surfel_capacity=1 << 16,
+                 object_surfel_capacity=1 << 12,
+                 seg_method="precomputed", use_so3=False,
+                 relocalisation=True, close_loops=True,
+                 pipelined_multiobject=True)
+    eng = MaskFusion(Resolution(syn.W, syn.H), syn.DEFAULT_INTR, cfg)
+    assert eng.ferns is not None
+    pts, cols = syn.make_scene()
+    rgb, depth = syn.render(pts, cols, np.eye(4), syn.DEFAULT_INTR)
+    lab = np.zeros((syn.H, syn.W), np.uint8)
+    for i in range(3):
+        out = eng.process_frame(FrameData(rgb=rgb, depth=depth, mask=lab,
+                                          timestamp=float(i)))
+        assert not out.get("pipelined", False)
+    assert not eng._pipelined_active
+    assert len(eng.ferns.frames) >= 1
+    t_err = np.linalg.norm(eng.current_pose[:3, 3])
+    assert t_err < 0.01
