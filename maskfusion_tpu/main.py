@@ -100,9 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="live cv2 window: predicted RGB / shaded map / "
                         "depth / labels per frame with pause/step/quit "
                         "keys (offscreen canvas when no display)")
-    # capacities
-    p.add_argument("--global-capacity", type=int, default=1 << 22)
-    p.add_argument("--object-capacity", type=int, default=1 << 19)
+    # capacities: reference defaults (Core/CMakeLists.txt:27-28 ->
+    # Model.cpp:101-108 — 9,437,184 global / 1,048,576 per-object surfels);
+    # scripts/soak_capacity.py proves the full 9.4M on one chip
+    p.add_argument("--global-capacity", type=int, default=9437184)
+    p.add_argument("--object-capacity", type=int, default=1 << 20)
     p.add_argument("--max-frames", type=int, help="alias for -e")
     p.add_argument("--nn", dest="embedded_nn", action="store_true",
                    help="run the embedded JAX Mask R-CNN asynchronously for "

@@ -1,64 +1,37 @@
 """Model-axis parallelism for multi-object SLAM.
 
-The SLAM-native scaling axis: stack the per-object tracking problem along a
-leading axis and vmap the whole GN solve, sharding that axis over the mesh —
-every device tracks a shard of the object models in one SPMD dispatch
-(replaces the reference's sequential per-model loop, MaskFusion.cpp:246-278,
-and our engine's host loop when many objects are live)."""
+The SLAM-native scaling axis: the engine stacks the per-object tracking and
+fuse problems along a leading axis and vmaps the whole solve; this module's
+`shard_model_axis` places a GSPMD sharding constraint on that axis so every
+device tracks+fuses a shard of the object models in one SPMD dispatch
+(replaces the reference's sequential per-model loop, MaskFusion.cpp:246-278).
+
+This is THE implementation the engine uses (MaskFusion._shard_model_axis
+delegates here) — the same constraint the multichip dryrun
+(__graft_entry__._dryrun_slam_model_axis) validates on a virtual mesh.
+"""
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from maskfusion_tpu import se3
-from maskfusion_tpu.camera import CameraIntrinsics
-from maskfusion_tpu.tracking import odometry as odo
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
-class BatchedTrackInputs(NamedTuple):
-    """Per-model tensors stacked on a leading 'models' axis."""
-    poses: jnp.ndarray          # (M, 4, 4)
-    pred_vmaps: jnp.ndarray     # (M, H, W, 3)
-    pred_nmaps: jnp.ndarray
-    pred_rgbs: jnp.ndarray
-    mask_ids: jnp.ndarray       # (M,)
-
-
-def build_batched_tracker(intr: CameraIntrinsics, mesh: Optional[Mesh] = None,
-                          model_axis: str = "dp", **odo_kwargs):
-    """Returns a jitted function tracking all M models at once.  With a mesh,
-    the model axis is sharded so each device solves its own models' GN
-    systems; the frame pyramids are replicated."""
-
-    def track_one(pose, pv, pn, pc, mask_id, frame_pyr):
-        model_pyr = odo.build_model_pyramids(pv, pn, pc, pose)
-        res = odo.get_incremental_transformation(
-            pose[:3, 3], pose[:3, :3], frame_pyr, model_pyr, None, intr,
-            use_so3=False, mask_id=mask_id, **odo_kwargs,
-        )
-        return se3.make_pose(res.R, res.t), res.delta, res.icp_count
-
-    def track_all(batch: BatchedTrackInputs, frame_pyr):
-        return jax.vmap(track_one, in_axes=(0, 0, 0, 0, 0, None))(
-            batch.poses, batch.pred_vmaps, batch.pred_nmaps,
-            batch.pred_rgbs, batch.mask_ids, frame_pyr,
-        )
-
+def shard_model_axis(mesh: Optional[Mesh], axis: str, tree):
+    """GSPMD sharding constraint on a leading model-stacked axis: with a
+    mesh, each device owns a shard of the object models through the vmapped
+    tracking/fuse graphs.  No-op without a mesh, or when the model count
+    doesn't tile the mesh axis (GSPMD needs divisibility; odd counts
+    replicate, which is always correct)."""
     if mesh is None:
-        return jax.jit(track_all)
-
-    model_sh = NamedSharding(mesh, P(model_axis))
-    batch_shardings = BatchedTrackInputs(
-        poses=model_sh, pred_vmaps=model_sh, pred_nmaps=model_sh,
-        pred_rgbs=model_sh, mask_ids=model_sh,
-    )
-    return jax.jit(
-        track_all,
-        in_shardings=(batch_shardings, None),
-        out_shardings=(model_sh, model_sh, model_sh),
-    )
+        return tree
+    leaves = jax.tree.leaves(tree)
+    n = leaves[0].shape[0] if leaves else 0
+    size = mesh.shape.get(axis, 1)
+    if n == 0 or size <= 1 or n % size:
+        return tree
+    sh = NamedSharding(mesh, PartitionSpec(axis))
+    return jax.tree.map(
+        lambda x: jax.lax.with_sharding_constraint(x, sh), tree)

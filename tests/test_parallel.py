@@ -81,37 +81,28 @@ def test_engine_model_axis_sharded_matches_unsharded():
         assert abs(mm.surfel_count - mr.surfel_count) <= 2
 
 
-def test_batched_multimodel_tracking_sharded():
-    from maskfusion_tpu.parallel.multimodel import (
-        BatchedTrackInputs, build_batched_tracker,
-    )
-    from maskfusion_tpu.ops import preprocess as pp
-    from maskfusion_tpu.tracking import odometry as odo
-    from tests import synthetic as syn
+def test_shard_model_axis_helper():
+    """The single shared model-axis sharding implementation (the engine
+    delegates to it): divisible counts shard, indivisible ones replicate,
+    and values are unchanged either way."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+    from maskfusion_tpu.parallel.multimodel import shard_model_axis
 
-    intr = syn.DEFAULT_INTR
-    pts, cols = syn.make_scene()
-    pose = np.eye(4, dtype=np.float32)
-    rgb, depth = syn.render(pts, cols, pose, intr)
-    filt = pp.bilateral_filter_depth(jnp.asarray(depth))
-    levels = pp.build_frame_pyramids(
-        filt, pp.rgb_to_intensity(jnp.asarray(rgb)),
-        jnp.zeros(depth.shape, jnp.uint8), intr, 5.0, 3)
-    frame_pyr = odo.build_frame_pyramids_for_odometry(levels, jnp.asarray(rgb))
+    mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("models",))
+    x = jnp.arange(8 * 4, dtype=jnp.float32).reshape(8, 4)
 
-    M = 8  # one model per device
-    batch = BatchedTrackInputs(
-        poses=jnp.tile(jnp.eye(4)[None], (M, 1, 1)),
-        pred_vmaps=jnp.tile(levels[0]["vmap"][None], (M, 1, 1, 1)),
-        pred_nmaps=jnp.tile(levels[0]["nmap"][None], (M, 1, 1, 1)),
-        pred_rgbs=jnp.tile(jnp.asarray(rgb, jnp.float32)[None], (M, 1, 1, 1)),
-        mask_ids=jnp.zeros((M,), jnp.uint8),
-    )
-    mesh = make_mesh(8, axes=("dp",))
-    tracker = build_batched_tracker(intr, mesh)
-    with mesh:
-        poses, deltas, counts = tracker(batch, frame_pyr)
-    assert poses.shape == (M, 4, 4)
-    # identical inputs at identity motion -> all models return ~identity
-    np.testing.assert_allclose(np.asarray(poses[:, :3, 3]), 0.0, atol=5e-4)
-    assert np.asarray(counts).min() > 1000
+    @jax.jit
+    def f(x):
+        return shard_model_axis(mesh, "models", x) * 2.0
+
+    y = f(x)
+    assert y.sharding == NamedSharding(mesh, PartitionSpec("models"))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x) * 2.0)
+
+    # indivisible count (7 % 2): constraint must be skipped, not crash
+    x7 = jnp.ones((7, 4))
+    y7 = jax.jit(lambda a: shard_model_axis(mesh, "models", a) + 1.0)(x7)
+    np.testing.assert_allclose(np.asarray(y7), 2.0)
+
+    # no mesh: identity
+    assert shard_model_axis(None, "models", x) is x

@@ -143,7 +143,18 @@ def test_tuning_registry():
     from maskfusion_tpu.utils.tuning import get_tuning
 
     t = get_tuning()
-    assert t.min_bucket > 0 and t.diag_interval >= 1
+    assert t.min_bucket_global > 0 and t.diag_interval >= 1
+    # the registry is wired, not decorative: the engine consumes it
+    from maskfusion_tpu.camera import CameraIntrinsics, Resolution
+    from maskfusion_tpu.config import Config
+    from maskfusion_tpu.engine import MaskFusion
+
+    eng = MaskFusion(Resolution(64, 48),
+                     CameraIntrinsics(52.0, 52.0, 32.0, 24.0),
+                     Config(static_mode=True,
+                            global_surfel_capacity=1 << 12))
+    assert eng._tuning == t
+    assert eng.DIAG_INTERVAL == t.diag_interval
 
 
 def test_diag_export_artifacts(tmp_path):
