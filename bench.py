@@ -165,7 +165,13 @@ def bench_two_objects():
                  object_surfel_capacity=1 << 19,
                  seg_method="maskfusion",
                  model_spawn_offset=2,
-                 pipelined_multiobject=True)
+                 pipelined_multiobject=True,
+                 # pin the object-axis size class to 2 from frame 1: the
+                 # whole run (0, 1 or 2 live objects) uses ONE device-stage
+                 # and ONE fuse-stage graph per parity — a cold start
+                 # compiles 3 big graphs instead of ~10 (90-230 s each on
+                 # the remote transport)
+                 min_object_slots=2)
     # pipeline_depth stays at the config default (4): the host dispatches
     # ~10x faster than the device computes, so the in-flight queue SITS at
     # the cap in steady state and the cap IS the fuse-segmentation lag.  A

@@ -114,6 +114,16 @@ class Config:
     # lifecycle decisions (spawn/deactivate) landing that many frames late
     # (the reference's own NN masks lag up to 30 frames).
     pipeline_depth: int = 4
+    # Object-slot padding floor for the pipelined multi-object graphs.  The
+    # object axis of the two fused graphs is padded to the next power of two
+    # >= max(n_live, min_object_slots) with masked dead slots, so model
+    # spawns/deletions within a size class NEVER recompile (the reference
+    # tolerates 256 models with zero recompiles, MaskFusion.cpp:715-731;
+    # here each (bucket, n_slots, parity) graph variant is a 90-230 s remote
+    # compile cold).  A floor > 0 additionally pins the class from frame 1
+    # (e.g. 2 for a scene known to hold two objects) at the price of dead-
+    # slot compute while fewer objects are live.
+    min_object_slots: int = 0
     dist_threshold: float = 0.10               # m, RGBDOdometry.h:35
     angle_threshold_sine: float = 0.34202      # sin(20deg), RGBDOdometry.h:36
     max_depth_delta_rgb: float = 0.07          # RGBDOdometry.cpp:33

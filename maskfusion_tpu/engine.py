@@ -49,6 +49,25 @@ from maskfusion_tpu.tracking import odometry as odo
 from maskfusion_tpu.utils.stopwatch import Stopwatch
 
 
+# Dead padding-slot sentinel for the pipelined graphs' object axis: a
+# mask_id no live model may hold (id assignment skips 254/255), so dead
+# slots' fuse matches zero pixels and their lanes are select-sanitised
+# inside the device stage.  255 stays the semantic-ignore label.
+DEAD_SLOT_ID = 254
+
+
+def _slot_class(n_live: int, floor: int) -> int:
+    """Object-axis size class: next power of two >= max(n_live, floor).
+    Returns 0 only when both are 0 (keeps the glob-only graph exact)."""
+    n = max(n_live, floor)
+    if n <= 0:
+        return 0
+    c = 1
+    while c < n:
+        c <<= 1
+    return c
+
+
 class MapState(NamedTuple):
     """Device-resident per-model state."""
     map: sm.SurfelMap
@@ -183,6 +202,7 @@ class MaskFusion:
         self._pipelined_active = False
         self._np_glob_pose = None   # numpy mirror of the tracked global
         self._seg_dev = None        # (tick, device seg) fuse-stage cache
+        self._dummy_state_cache = {}  # capacity -> dead padding-slot state
         self._diag_exporter = None
         if self.cfg.diag_export_dir:
             from maskfusion_tpu.utils.diag_export import DiagnosticExporter
@@ -893,6 +913,15 @@ class MaskFusion:
             else:
                 new_poses = jnp.zeros((0, 4, 4), jnp.float32)
                 jumps = jnp.zeros((0,), jnp.float32)
+            if n_obj:
+                # dead padding slots (object-axis size classes): their GN
+                # systems are degenerate (all-invalid predictions) — keep
+                # the dummy's identity pose and a zero jump so the slot
+                # stays finite through projection/hostvec
+                alive = obj_aux[:, 0] < float(DEAD_SLOT_ID)
+                new_poses = jnp.where(alive[:, None, None], new_poses,
+                                      stk[0])
+                jumps = jnp.where(alive, jumps, 0.0)
             depths = [project_ids(glob_state.map, tr.pose, time,
                                   cfg.depth_cutoff, glob_bucket)]
             for i in range(n_obj):
@@ -1035,7 +1064,10 @@ class MaskFusion:
                 used |= {m.model_id for m in self.inactive_models}
             while True:
                 self.next_id = (self.next_id + 1) % 256 or 1
-                if self.next_id not in used:
+                # 255 is the semantic-ignore mask label and 254 the dead
+                # padding-slot sentinel (DEAD_SLOT_ID) — neither may ever
+                # name a live model
+                if self.next_id not in used and self.next_id < 254:
                     break
         return nxt
 
@@ -1375,6 +1407,53 @@ class MaskFusion:
         model.last_bucket = b
         return b
 
+    def _dummy_obj_state(self, capacity: int, slot: int) -> MapState:
+        """Dead padding-slot state for the pipelined graphs' object axis:
+        empty map, identity pose, all-invalid predictions.  Its tracking
+        lanes are select-sanitised in the device stage (mask DEAD_SLOT_ID)
+        and its fuse matches zero pixels, so it only costs compute.  Cached
+        PER SLOT — the fuse stage donates its inputs, so (a) two slots may
+        never alias one buffer ("donate the same buffer twice") and (b)
+        each slot's cache entry is refreshed from that slot's returned
+        state after a donating dispatch (_refresh_dummies)."""
+        key = (capacity, slot)
+        st = self._dummy_state_cache.get(key)
+        if st is None:
+            g = self.models[0].state
+            st = MapState(
+                map=sm.empty(capacity),
+                pose=jnp.eye(4, dtype=jnp.float32),
+                last_delta=jnp.eye(4, dtype=jnp.float32),
+                pred_vmap=jnp.full_like(g.pred_vmap, jnp.nan),
+                pred_nmap=jnp.full_like(g.pred_nmap, jnp.nan),
+                pred_rgb=jnp.zeros_like(g.pred_rgb),
+                so3_intensity=jnp.zeros_like(g.so3_intensity),
+            )
+            self._dummy_state_cache[key] = st
+        return st
+
+    def _padded_obj_states(self, objs, n_slots: int):
+        """State tuple for the pipelined graphs' object axis: live models
+        first, then per-slot dead states up to the size class."""
+        pad = n_slots - len(objs)
+        states = tuple(m.state for m in objs)
+        if pad > 0:
+            cap = (objs[0].state.map.capacity if objs
+                   else self.cfg.object_surfel_capacity)
+            states = states + tuple(
+                self._dummy_obj_state(cap, len(objs) + k)
+                for k in range(pad))
+        return states
+
+    def _refresh_dummies(self, objs, obj_states, new_objs):
+        """After a donating fuse dispatch, the cached dead-slot buffers are
+        invalid — re-cache each slot from its returned state (fusing and
+        cleaning an empty DEAD-masked map is a no-op, so it stays a valid
+        dummy)."""
+        for k in range(len(objs), len(obj_states)):
+            cap = obj_states[k].map.capacity
+            self._dummy_state_cache[(cap, k)] = new_objs[k]
+
     def _window_from_bbox(self, y0, x0, y1, x1):
         OW = self._obj_window
         H, W = self.res.height, self.res.width
@@ -1658,26 +1737,35 @@ class MaskFusion:
             # ONE dispatch for global + all objects (fused stage)
             glob = fuse_models[0]
             obj_bucket = max((self._bucket_for(m) for m in objs),
-                             default=1 << 16)
-            windowed = bool(objs) and all(
+                             default=self._tuning.min_bucket_object)
+            windowed = bool(objs or cfg.min_object_slots) and all(
                 m.window is not None for m in objs)
             # ONE (n_models,4,4) upload: prev_pose is host numpy in steady
             # state (unpacked from the device stage's hostvec); a freshly
             # spawned model briefly carries a device-array pose — stack
             # through jnp only then
-            prevs = [glob.prev_pose] + [m.prev_pose for m in objs]
+            n_slots = _slot_class(len(objs), cfg.min_object_slots)
+            eye = np.eye(4, dtype=np.float32)
+            prevs = ([glob.prev_pose] + [m.prev_pose for m in objs]
+                     + [eye] * (n_slots - len(objs)))
             if all(isinstance(p, np.ndarray) for p in prevs):
                 prev_poses = jnp.asarray(np.stack(prevs))
             else:
                 prev_poses = jnp.stack([jnp.asarray(p) for p in prevs])
+            param_rows = ([[m.model_id, m.conf_threshold,
+                            min(cfg.depth_cutoff, m.max_depth),
+                            100.0 if not m.fused_once
+                            else cfg.weight_multiplier,
+                            (m.window or (0, 0))[0],
+                            (m.window or (0, 0))[1]]
+                           for m in objs]
+                          + [[DEAD_SLOT_ID, 1.0, cfg.depth_cutoff, 1.0,
+                              0, 0]] * (n_slots - len(objs)))
             obj_params = jnp.asarray(np.asarray(
-                [[m.model_id, m.conf_threshold,
-                  min(cfg.depth_cutoff, m.max_depth),
-                  100.0 if not m.fused_once else cfg.weight_multiplier,
-                  (m.window or (0, 0))[0], (m.window or (0, 0))[1]]
-                 for m in objs], np.float32).reshape(len(objs), 6))
+                param_rows, np.float32).reshape(n_slots, 6))
+            obj_states = self._padded_obj_states(objs, n_slots)
             new_glob, new_objs = self._pipelined_fuse_stage(
-                glob.state, tuple(m.state for m in objs), prep, rgb,
+                glob.state, obj_states, prep, rgb,
                 seg_mask, prev_poses, float(tick), obj_params,
                 glob_bucket=self._bucket_for(glob), obj_bucket=obj_bucket,
                 parity=parity, windowed=windowed,
@@ -1686,6 +1774,7 @@ class MaskFusion:
             for m, s in zip(objs, new_objs):
                 m.state = s
                 m.fused_once = True
+            self._refresh_dummies(objs, obj_states, new_objs)
             self._seg_dev = (seg_tick if seg_tick is not None else tick,
                              seg_mask)
             return
@@ -1736,27 +1825,35 @@ class MaskFusion:
     def _dispatch_fuse_prefused(self, prep, rgb, seg_dev, tick: int,
                                 prev_poses_dev, gate, glob, objs,
                                 glob_bucket: int, obj_bucket: int,
-                                windowed: bool, ids_guard=None):
+                                windowed: bool, ids_guard=None,
+                                n_slots: "int | None" = None):
         """Prefused-pipeline fuse dispatch: rides the device queue right
         behind the same frame's device stage.  prev_poses (pre-track poses,
         row 0 global) and the tracking-ok gate are device outputs of that
         stage — the host supplies only the per-model scalars (lagged
         lifecycle state, uploaded async)."""
         cfg = self.cfg
+        if n_slots is None:
+            n_slots = len(objs)
         parity = (tick % 2 if cfg.fuse_subsample_checkerboard else None)
+        param_rows = ([[m.model_id, m.conf_threshold,
+                        min(cfg.depth_cutoff, m.max_depth),
+                        100.0 if not m.fused_once else cfg.weight_multiplier,
+                        (m.window or (0, 0))[0], (m.window or (0, 0))[1]]
+                       for m in objs]
+                      + [[DEAD_SLOT_ID, 1.0, cfg.depth_cutoff, 1.0, 0, 0]]
+                      * (n_slots - len(objs)))
         obj_params = jnp.asarray(np.asarray(
-            [[m.model_id, m.conf_threshold,
-              min(cfg.depth_cutoff, m.max_depth),
-              100.0 if not m.fused_once else cfg.weight_multiplier,
-              (m.window or (0, 0))[0], (m.window or (0, 0))[1]]
-             for m in objs], np.float32).reshape(len(objs), 6))
+            param_rows, np.float32).reshape(n_slots, 6))
+        obj_states = self._padded_obj_states(objs, n_slots)
         new_glob, new_objs = self._pipelined_fuse_stage(
-            glob.state, tuple(m.state for m in objs), prep, rgb,
+            glob.state, obj_states, prep, rgb,
             seg_dev, prev_poses_dev, float(tick), obj_params,
             glob_bucket=glob_bucket, obj_bucket=obj_bucket,
             parity=parity, windowed=windowed, gate=gate,
             ids_guard=ids_guard)
         glob.state = new_glob
+        self._refresh_dummies(objs, obj_states, new_objs)
         # first-fuse bookkeeping is provisional here: the device-side gate
         # may select this whole fuse away (tracking failed), in which case
         # the newborn never actually received the 100x first-fuse weight
@@ -1929,19 +2026,25 @@ class MaskFusion:
             # (unpacked in _finish_one) — no per-model device copies here
             glob_bucket = self._bucket_for(glob)
             obj_bucket = max((self._bucket_for(m) for m in objs),
-                             default=1 << 16)
-            windowed = bool(objs) and all(
+                             default=self._tuning.min_bucket_object)
+            # object-axis size class: spawns/deletes within a class reuse
+            # the compiled graphs (dead slots carry DEAD_SLOT_ID and an
+            # empty map; their lanes are select-sanitised device-side)
+            n_slots = _slot_class(len(objs), cfg.min_object_slots)
+            windowed = bool(n_slots) and all(
                 m.window is not None for m in objs)
+            aux_rows = ([[m.model_id, (m.window or (0, 0))[0],
+                          (m.window or (0, 0))[1]] for m in objs]
+                        + [[DEAD_SLOT_ID, 0, 0]] * (n_slots - len(objs)))
             obj_aux = jnp.asarray(np.asarray(
-                [[m.model_id, (m.window or (0, 0))[0],
-                  (m.window or (0, 0))[1]] for m in objs],
-                np.float32).reshape(len(objs), 3))
+                aux_rows, np.float32).reshape(n_slots, 3))
+            ids_vec = ([m.model_id for m in self.models]
+                       + [0] * (n_slots - len(objs)))
             with self.stopwatch.scope("odom"):
                 (prep, gpose, oposes, hostvec, ids_dev, nonedge_dev,
                  prev_poses_dev, okf) = self._pipelined_device_stage(
-                    glob.state, tuple(m.state for m in objs), obj_aux,
-                    jnp.asarray([m.model_id for m in self.models],
-                                jnp.float32),
+                    glob.state, self._padded_obj_states(objs, n_slots),
+                    obj_aux, jnp.asarray(ids_vec, jnp.float32),
                     rgb, depth, prev_seg, float(self.tick),
                     glob_bucket=glob_bucket, obj_bucket=obj_bucket,
                     windowed=windowed)
@@ -1960,13 +2063,13 @@ class MaskFusion:
                     first_fused = self._dispatch_fuse_prefused(
                         prep, rgb, prev_seg, self.tick, prev_poses_dev,
                         okf, glob, objs, glob_bucket, obj_bucket, windowed,
-                        ids_guard=ids_dev)
+                        ids_guard=ids_dev, n_slots=n_slots)
             self._pending.append(dict(
                 kind="prefused" if prefused else "lagfuse",
                 frame=frame, prep=prep, rgb=rgb, ids=ids_dev,
                 nonedge=nonedge_dev, hostvec=hostvec,
                 tracked=tracked, tick=self.tick,
-                first_fused=first_fused,
+                first_fused=first_fused, n_slots=n_slots,
                 count_models=list(self.models)))
         else:
             for model in self.models:
@@ -2016,12 +2119,16 @@ class MaskFusion:
             # transport; the packed async-copied vector fetches in ~0)
             with self.stopwatch.scope("fetch"):
                 hv = np.asarray(P["hostvec"])
+            # hostvec layout follows the PADDED object axis (dead slots at
+            # the end of each section); only the live prefix is consumed
+            ns = P.get("n_slots", n_obj)
+            N = 1 + ns
             counts = hv[:n]
-            cov = float(hv[n])
-            jumps = hv[n + 1:n + 1 + n_obj] if n_obj else None
-            p0 = n + 1 + n_obj
-            prev_poses = hv[p0:p0 + 16 * n].reshape(n, 4, 4)
-            world_poses = hv[p0 + 16 * n:p0 + 32 * n].reshape(n, 4, 4)
+            cov = float(hv[N])
+            jumps = hv[N + 1:N + 1 + n_obj] if n_obj else None
+            p0 = N + 1 + ns
+            prev_poses = hv[p0:p0 + 16 * N].reshape(N, 4, 4)[:n]
+            world_poses = hv[p0 + 16 * N:p0 + 32 * N].reshape(N, 4, 4)[:n]
             ts = P["frame"].timestamp or float(tick)
             for i, model in enumerate(models):
                 model.prev_pose = prev_poses[i]
