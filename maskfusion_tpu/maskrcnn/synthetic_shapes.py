@@ -400,3 +400,106 @@ def eval_rich_detection(params, image_size: int = 256, n_scenes: int = 10,
         "mask_iou": float(np.mean(mask_ious)) if mask_ious else 0.0,
         "recall": matched_n / max(gt_n, 1),
     }
+
+
+def paste_mask_np(det: np.ndarray, mask_logits: np.ndarray,
+                  size: int) -> np.ndarray:
+    """Paste a (mH, mW) mask-logit crop into a full (S, S) bool image over
+    the detection's box (the reference's unmold step — matterport
+    utils.unmold_mask; nearest-neighbour instead of bilinear, adequate for
+    IoU scoring)."""
+    S = size
+    ml = mask_logits > 0
+    y1, x1, y2, x2 = np.clip((det * S).astype(int), 0, S)
+    y2, x2 = max(y2, y1 + 1), max(x2, x1 + 1)
+    yy, xx = np.mgrid[y1:y2, x1:x2]
+    my = np.clip(((yy - y1) / (y2 - y1) * ml.shape[0]).astype(int),
+                 0, ml.shape[0] - 1)
+    mx = np.clip(((xx - x1) / (x2 - x1) * ml.shape[1]).astype(int),
+                 0, ml.shape[1] - 1)
+    pred = np.zeros((S, S), bool)
+    pred[y1:y2, x1:x2] = ml[my, mx]
+    return pred
+
+
+def _ap_from_matches(records, n_gt: int) -> float:
+    """COCO-style AP with 101-point interpolation from (score, is_tp)
+    records (greedy per-scene matching already applied)."""
+    if n_gt == 0 or not records:
+        return 0.0
+    records = sorted(records, key=lambda r: -r[0])
+    tp = np.cumsum([r[1] for r in records], dtype=np.float64)
+    fp = np.cumsum([not r[1] for r in records], dtype=np.float64)
+    recall = tp / n_gt
+    precision = tp / np.maximum(tp + fp, 1e-10)
+    # precision envelope + 101-point sampling (pycocotools semantics)
+    for i in range(len(precision) - 2, -1, -1):
+        precision[i] = max(precision[i], precision[i + 1])
+    pts = np.linspace(0, 1, 101)
+    idx = np.searchsorted(recall, pts, side="left")
+    p = np.where(idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0)
+    return float(np.mean(p))
+
+
+def eval_rich_ap(params, image_size: int = 256, n_scenes: int = 25,
+                 seed: int = 2, score_thresh: float = 0.05):
+    """COCO-style held-out AP on the rich domain: box/mask AP@0.5 and
+    mAP@[.5:.95] (class-aware greedy matching, 101-point interpolation) —
+    the quality analogue of the reference's COCO-pretrained operating point
+    (score threshold 0.55, MaskRCNN config.toml.in:33).  Low score_thresh:
+    AP integrates over the PR curve, so all confident-ish detections count.
+    Returns dict(box_ap50, box_map, mask_ap50, mask_map, n_gt)."""
+    import jax
+    import jax.numpy as jnp
+
+    from maskfusion_tpu.maskrcnn.model import MaskRCNN
+
+    cfg = rich_config(image_size)
+    model = MaskRCNN(cfg)
+    rng = np.random.default_rng(seed)
+    fwd = jax.jit(lambda p, im: model.apply(p, im))
+    thresholds = np.arange(0.5, 1.0, 0.05)
+    # records[t_idx][kind] = list of (score, is_tp); kind 0=box, 1=mask
+    records = [([], []) for _ in thresholds]
+    n_gt = 0
+    for _ in range(n_scenes):
+        img, b, c, v, m = make_rich_scene(rng, image_size)
+        out = fwd(params, jnp.asarray(img)[None])
+        scores = np.asarray(out["detection_scores"])
+        dets = np.asarray(out["detections"])
+        dcls = np.asarray(out["detection_classes"])
+        mlog = np.asarray(out["mask_logits"])
+        gt_idx = np.nonzero(v)[0]
+        n_gt += len(gt_idx)
+        keep = np.nonzero(scores >= score_thresh)[0]
+        keep = keep[np.argsort(-scores[keep])]
+        # per-detection IoUs against every gt (box and pasted-mask)
+        box_iou = np.zeros((len(keep), len(gt_idx)))
+        mask_iou = np.zeros_like(box_iou)
+        for a, k in enumerate(keep):
+            pred = paste_mask_np(dets[k], mlog[k], image_size)
+            for g, gi in enumerate(gt_idx):
+                if int(dcls[k]) != int(c[gi]):
+                    continue          # class-aware: wrong class never matches
+                box_iou[a, g] = box_iou_np(dets[k], b[gi])
+                gtm = m[gi] > 0.5
+                mask_iou[a, g] = (pred & gtm).sum() / max((pred | gtm).sum(), 1)
+        for ti, t in enumerate(thresholds):
+            for kind, ious in ((0, box_iou), (1, mask_iou)):
+                taken = np.zeros(len(gt_idx), bool)
+                for a, k in enumerate(keep):     # score-descending greedy
+                    cand = np.where(taken, -1.0, ious[a])
+                    g = int(np.argmax(cand)) if len(gt_idx) else -1
+                    is_tp = len(gt_idx) > 0 and cand[g] >= t
+                    if is_tp:
+                        taken[g] = True
+                    records[ti][kind].append((float(scores[k]), bool(is_tp)))
+    box_aps = [_ap_from_matches(records[ti][0], n_gt)
+               for ti in range(len(thresholds))]
+    mask_aps = [_ap_from_matches(records[ti][1], n_gt)
+                for ti in range(len(thresholds))]
+    return {
+        "box_ap50": box_aps[0], "box_map": float(np.mean(box_aps)),
+        "mask_ap50": mask_aps[0], "mask_map": float(np.mean(mask_aps)),
+        "n_gt": n_gt,
+    }
