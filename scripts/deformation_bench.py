@@ -80,6 +80,30 @@ def main():
     print(f"  displacement: mean {moved.mean() * 1000:.2f} mm, "
           f"max {moved.max() * 1000:.2f} mm", flush=True)
 
+    # --- loop-closure fast path: deform the DEVICE-resident map in place
+    # (engine._apply_loop_closure -> apply_to_map_device; only the (G,24)
+    # node table crosses the wire).  cap/count sized like a mid-run global
+    # map; per-closure wall time = optimise (above) + this apply. ---
+    import jax
+    import jax.numpy as jnp
+
+    cap, count = 1 << 22, 1 << 21
+    dev_pos = jnp.asarray(np.tile(pts[:1 << 16], (cap // (1 << 16), 1)))
+    dev_nrm = jnp.asarray(np.tile(nrm[:1 << 16], (cap // (1 << 16), 1)))
+    t0 = time.perf_counter()
+    np_, nn_ = g.apply_to_map_device(dev_pos, dev_nrm, count)
+    jax.block_until_ready((np_, nn_))
+    first_md = (time.perf_counter() - t0) * 1000
+    md_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np_, nn_ = g.apply_to_map_device(dev_pos, dev_nrm, count)
+        jax.block_until_ready((np_, nn_))
+        md_times.append((time.perf_counter() - t0) * 1000)
+    print(f"apply_to_map_device cap {cap} count {count}: first "
+          f"{first_md:.0f} ms, steady median {np.median(md_times):.0f} ms "
+          f"-> per-closure total ~ optimise + this", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -20,6 +20,12 @@ def main():
     p.add_argument("--frames", type=int, default=200)
     p.add_argument("--static", action="store_true",
                    help="background-only static-mode run")
+    p.add_argument("--method", default="precomputed",
+                   choices=["precomputed", "cofusion", "maskfusion"],
+                   help="segmentation source for the moving-object run: "
+                   "precomputed = gt-mask seam (plumbing parity), cofusion "
+                   "= geometric SLIC+CRF (CfSegmentation parity, VERDICT "
+                   "r4 #9), maskfusion = geometric+semantic")
     p.add_argument("--seq-dir", default="/tmp/parity_seq_vga")
     p.add_argument("--out-dir", default="/tmp/parity_out_vga")
     args = p.parse_args()
@@ -33,7 +39,9 @@ def main():
         print(f"generating {args.frames} VGA frames in {seq} ...", flush=True)
         make_sequence.generate(seq, frames=args.frames, width=640,
                                height=480, with_object=not args.static)
-    out = args.out_dir + ("_static" if args.static else "")
+    out = args.out_dir + ("_static" if args.static else
+                          "" if args.method == "precomputed"
+                          else "_" + args.method)
     t0 = time.perf_counter()
     argv = ["-dir", seq, "-cal", os.path.join(seq, "calibration.txt"),
             "-exportdir", out, "-ep", "-q",
@@ -45,12 +53,13 @@ def main():
     if args.static:
         argv += ["-static"]
     else:
-        argv += ["-method", "precomputed", "-es"]
+        argv += ["-method", args.method, "-es"]
     rc = cli(argv)
     wall = time.perf_counter() - t0
     assert rc == 0
     res = {"frames": args.frames, "wall_s": round(wall, 1),
-           "fps": round(args.frames / wall, 2)}
+           "fps": round(args.frames / wall, 2),
+           "mode": "static" if args.static else args.method}
     res["ate"] = ate_rmse(os.path.join(out, "poses-0.txt"),
                           os.path.join(seq, "groundtruth.txt"))
     if not args.static:
