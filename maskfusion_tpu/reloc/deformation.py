@@ -177,7 +177,20 @@ class DeformationGraph:
         # fully vectorised COO assembly (the reference builds the same
         # Jacobian with CHOLMOD triplets, CholeskyDecomp.cpp; python loops
         # were quadratic pain at the reference's 1024-node graph size)
-        for _ in range(iterations):
+        for it in range(iterations):
+            # convergence precheck BEFORE the (dominant) assembly+solve:
+            # the acceptance gate is meanConsError < 3e-4 (Deformation.cpp:
+            # 75-180); once the constraint error sits an order below that,
+            # further GN iterations cannot change the accept decision.
+            # C is tiny (tens), so this costs microseconds.
+            gk0 = self.g[cids]
+            pred0 = np.einsum(
+                "ck,ckd->cd", cw,
+                np.einsum("ckab,ckb->cka", self.A[cids],
+                          cons_src[:, None] - gk0) + gk0 + self.t[cids])
+            if (it > 0 and float(np.linalg.norm(pred0 - cons_dst, axis=1)
+                                 .mean()) < 3e-5):
+                break
             blocks = []  # (rows, cols, vals) per energy term
             resids = []
             r0 = 0
@@ -304,7 +317,12 @@ class DeformationGraph:
         system (measured 8.7 s at 1024 nodes); CG converges in ~100
         iterations (~160 ms) and remains the pure-python fallback."""
         JtJn = (J.T @ J).tocsc()
-        JtJn = JtJn + 1e-8 * sparse.eye(JtJn.shape[0], format="csc")
+        # 1e-5 (diag is O(1..200)): a 1e-8 shift is BELOW f32 epsilon at
+        # this scale, and the f32 LLT factorisation hits a non-positive
+        # pivot on the near-semidefinite system and bails — which silently
+        # dropped every solve onto the ~60x slower CG fallback.  1e-5 is
+        # still ~1e-6 relative to the diagonal, far below GN step noise.
+        JtJn = JtJn + 1e-5 * sparse.eye(JtJn.shape[0], format="csc")
         JtJn.sort_indices()
         x = self._native_chol_solve(JtJn, rhs)
         if x is not None:
@@ -314,7 +332,7 @@ class DeformationGraph:
         nvar = J.shape[1]
         n = nvar // 12
         JtJ = (J.T @ J).tocsr()
-        JtJ = JtJ + 1e-8 * sparse.eye(nvar, format="csr")
+        JtJ = JtJ + 1e-5 * sparse.eye(nvar, format="csr")
 
         # vectorised 12x12 diagonal-block extraction + inversion
         coo = JtJ.tocoo()
