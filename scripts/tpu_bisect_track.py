@@ -1,6 +1,7 @@
 """DCE-prefix bisect of the TRACK stage (16.3 ms in-context, the largest
 static-step stage): model pyramids, SO3 pre-align, then each GN pyramid
-level.  Run alone on the TPU."""
+level — all under the ENGINE config (assoc_period=5, gn_step_eps=1e-6).
+Run alone on the TPU."""
 import sys, time
 sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
@@ -53,12 +54,14 @@ def timeit(name, jfn, N=48, prev=[0.0]):
 nothing = jax.jit(lambda x: x + 1.0)
 timeit("floor", lambda: nothing(jnp.float32(1.0)))
 
-mp_s = jax.jit(lambda s, p: ssum(odo.build_model_pyramids(
-    s.pred_vmap, s.pred_nmap, s.pred_rgb, s.pose)))
-timeit("model pyramids", lambda: mp_s(st, prep))
+# ground truth: the engine's own jitted track closure (incl. model pyramids)
+timeit("engine _track (all-in)",
+       lambda: eng._track(st, prep, jnp.uint8(0)))
 
-# per-level GN cost: run get_incremental_transformation with iteration
-# vectors that isolate each level (iters are static Python ints)
+mp_s = jax.jit(lambda s: ssum(odo.build_model_pyramids(
+    s.pred_vmap, s.pred_nmap, s.pred_rgb, s.pose)))
+timeit("model pyramids alone", lambda: mp_s(st))
+
 frame_pyr = jax.block_until_ready(jax.jit(
     lambda p, r: odo.build_frame_pyramids_for_odometry(p.levels, r))(
         prep, rj))
@@ -66,20 +69,29 @@ model_pyr = jax.block_until_ready(jax.jit(
     lambda s: odo.build_model_pyramids(
         s.pred_vmap, s.pred_nmap, s.pred_rgb, s.pose))(st))
 
-# iteration schedules are baked (odometry.py:296-302): fast_odom = (3,0,0),
-# pyramid=False = (10,0,0), default = (10,5,4).  Deltas decompose:
-#   (10,0,0) - (3,0,0)   = 7 level-0 iterations
-#   (10,5,4) - (10,0,0)  = levels 1+2 (incl. their pyramid reads)
+# engine config for the GN itself
+ENG = dict(assoc_period=cfg.assoc_period, gn_step_eps=cfg.gn_step_eps,
+           icp_weight=cfg.icp_weight)
+
 for name, kw in (
-        ("track level0 x3 (fast_odom)", dict(fast_odom=True, use_so3=False)),
-        ("track level0 x10 (pyramid=False)",
+        ("GN level0 x3 (fast_odom)", dict(fast_odom=True, use_so3=False)),
+        ("GN level0 x10 (pyramid=False)",
          dict(pyramid=False, use_so3=False)),
-        ("track full (10,5,4)", dict(use_so3=False)),
-        ("track full + so3", dict(use_so3=True))):
+        ("GN full (10,5,4)", dict(use_so3=False)),
+        ("GN full + so3", dict(use_so3=True)),
+        ("GN full+so3 assoc_period=1",
+         dict(use_so3=True, assoc_period=1)),
+        ("GN full+so3 no step eps",
+         dict(use_so3=True, gn_step_eps=0.0)),
+):
     def f(s, fp=frame_pyr, mp=model_pyr, kw=kw):
-        so3i = s.so3_intensity if kw.get("use_so3") else None
+        kk = dict(ENG)
+        kk.update(kw)
+        so3i = ((None, None, s.so3_intensity)
+                if kk.pop("use_so3") else None)
         res = odo.get_incremental_transformation(
-            s.pose[:3, 3], s.pose[:3, :3], fp, mp, so3i, intr, **kw)
+            s.pose[:3, 3], s.pose[:3, :3], fp, mp, so3i, intr,
+            use_so3=so3i is not None, **kk)
         return ssum(res.R, res.t, res.A, res.icp_error)
     try:
         jf = jax.jit(f)
