@@ -12,6 +12,13 @@ state, and the GUI.h key controls that matter headlessly:
     n         step one frame while paused (GUI.h:201 "step")
     s         save a screenshot PNG   (GUI.h:214 record/screenshot tools)
     v         toggle shaded map vs raw albedo (draw modes, GUI.h:172-187)
+    x         toggle FXAA on the map panel (GUI.h:208,238 drawFxaa)
+    m         toggle free-orbit map camera vs follow-live-camera
+              (stand-in for pangolin::Handler3D mouse nav, GUI.h:701)
+    r         reset the orbit camera onto the live camera
+
+With a display, the map panel also takes mouse input in orbit mode:
+left-drag orbits, right-drag pans, wheel dollies (Handler3D semantics).
 
 On a machine without a display (this environment, CI) construct with
 ``offscreen=True`` — the viewer composes exactly the same canvas every
@@ -47,7 +54,11 @@ class LiveViewer:
         self.offscreen = offscreen
         self.paused = False
         self.shaded = True
+        self.fxaa = False
+        self.free_orbit = False
+        self.orbit = None            # OrbitCamera once first enabled
         self.last_canvas: Optional[np.ndarray] = None
+        self._drag = None            # (button, x, y) during a mouse drag
         self._window_open = False
         self._t_last = time.perf_counter()
         self._fps = 0.0
@@ -59,9 +70,15 @@ class LiveViewer:
         glob = self.engine.models[0]
         H, W = np.asarray(glob.state.pred_rgb).shape[:2]
         rgb = np.clip(np.asarray(glob.state.pred_rgb), 0, 255).astype(np.uint8)
+        live_pose = np.asarray(glob.state.pose)
+        view_pose = (self.orbit.pose()
+                     if self.free_orbit and self.orbit is not None
+                     else live_pose)
         view = hv.render_map_view(
-            glob.state.map, np.asarray(glob.state.pose), self.engine.intr,
+            glob.state.map, view_pose, self.engine.intr,
             W, H, max_depth=self.engine.cfg.depth_cutoff, shaded=self.shaded)
+        if self.fxaa:
+            view["rgb"] = hv.fxaa(view["rgb"])
         depth_vis = np.repeat(
             hv.normalise_depth(view["depth"], 0.3,
                                self.engine.cfg.depth_cutoff)[..., None],
@@ -77,7 +94,9 @@ class LiveViewer:
                f"{self._fps:5.1f} FPS  models {diag.get('n_models', 1)}  "
                f"surfels {diag.get('surfels', 0)}  "
                f"{'TRACKING' if diag.get('tracking_ok', True) else 'LOST'}"
-               f"{'  [paused]' if self.paused else ''}")
+               f"{'  [paused]' if self.paused else ''}"
+               f"{'  [orbit]' if self.free_orbit else ''}"
+               f"{'  [fxaa]' if self.fxaa else ''}")
         canvas = self._draw_hud(canvas, hud)
         if self.scale != 1.0:
             import cv2
@@ -104,9 +123,48 @@ class LiveViewer:
             self.paused = not self.paused
         elif key == ord("v"):
             self.shaded = not self.shaded
+        elif key == ord("x"):
+            self.fxaa = not self.fxaa
+        elif key == ord("m"):
+            self.toggle_orbit()
+        elif key == ord("r"):
+            self.reset_orbit()
         elif key == ord("s"):
             self.screenshot()
         return True
+
+    def toggle_orbit(self):
+        self.free_orbit = not self.free_orbit
+        if self.free_orbit and self.orbit is None:
+            self.reset_orbit()
+
+    def reset_orbit(self):
+        from maskfusion_tpu.viewer import OrbitCamera
+
+        self.orbit = OrbitCamera.from_pose(
+            np.asarray(self.engine.models[0].state.pose))
+
+    def _on_mouse(self, event, x, y, flags, _param):
+        """Handler3D-style navigation on the composited window: left-drag
+        orbits, right-drag pans in the image plane, wheel dollies."""
+        import cv2
+
+        if not self.free_orbit or self.orbit is None:
+            return
+        if event in (cv2.EVENT_LBUTTONDOWN, cv2.EVENT_RBUTTONDOWN):
+            self._drag = (event, x, y)
+        elif event in (cv2.EVENT_LBUTTONUP, cv2.EVENT_RBUTTONUP):
+            self._drag = None
+        elif event == cv2.EVENT_MOUSEMOVE and self._drag is not None:
+            btn, px, py = self._drag
+            dx, dy = x - px, y - py
+            self._drag = (btn, x, y)
+            if btn == cv2.EVENT_LBUTTONDOWN:
+                self.orbit.rotate(dx * 0.008, dy * 0.008)
+            else:
+                self.orbit.pan(-dx * 0.002, -dy * 0.002)
+        elif event == cv2.EVENT_MOUSEWHEEL:
+            self.orbit.dolly(0.9 if flags > 0 else 1.0 / 0.9)
 
     # ------------------------------------------------------------ public
     def update(self, diag: Optional[dict] = None) -> bool:
@@ -125,6 +183,8 @@ class LiveViewer:
 
         cv2.imshow(self.title, cv2.cvtColor(self.last_canvas,
                                             cv2.COLOR_RGB2BGR))
+        if not self._window_open:
+            cv2.setMouseCallback(self.title, self._on_mouse)
         self._window_open = True
         if not self._handle_key(cv2.waitKey(1) & 0xFF):
             return False

@@ -123,3 +123,107 @@ def test_cli_live_viewer_offscreen(tmp_path, monkeypatch):
     # panels carry real content (predicted rgb + map render + depth)
     assert canvas[24:, :].std() > 5.0
     assert os.path.getsize(captured["shot"]) > 1000
+
+
+def test_fxaa_smooths_edges_preserves_flats():
+    """FXAA parity (Core/Shaders/fxaa.frag): a hard diagonal edge gains
+    intermediate intensities (anti-aliased), while flat regions pass
+    through bit-exact (luma range below the reduce threshold)."""
+    from maskfusion_tpu.viewer import fxaa
+
+    H = W = 64
+    yy, xx = np.mgrid[:H, :W]
+    img = np.repeat(
+        np.where((xx + yy * 2 > 80)[..., None], 230, 20), 3,
+        axis=-1).astype(np.uint8)
+    out = fxaa(img)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # anti-aliasing creates intermediate levels along the staircase edge
+    mid = ((out > 60) & (out < 190)).sum()
+    mid_in = ((img > 60) & (img < 190)).sum()
+    assert mid > mid_in + 30
+    # flat interior untouched
+    assert (out[:8, :8] == 20).all()
+    assert (out[-8:, -8:] == 230).all()
+    # flat image is a no-op
+    flat = np.full((32, 32, 3), 128, np.uint8)
+    assert (fxaa(flat) == flat).all()
+
+
+def test_orbit_camera_geometry():
+    from maskfusion_tpu.viewer import OrbitCamera
+
+    cam = OrbitCamera(pivot=(0.2, -0.1, 1.5), distance=2.0,
+                      yaw=0.4, pitch=-0.2)
+    pose = cam.pose()
+    R = pose[:3, :3]
+    # orthonormal, right-handed
+    np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-6)
+    assert np.linalg.det(R) > 0.99
+    # camera sits `distance` from the pivot and looks straight at it:
+    # the pivot in camera coords is (0, 0, distance)
+    pivot_cam = np.linalg.inv(pose) @ np.array([0.2, -0.1, 1.5, 1.0])
+    np.testing.assert_allclose(pivot_cam[:3], [0, 0, 2.0], atol=1e-6)
+    # dolly moves along the view ray, pivot stays centred
+    cam.dolly(0.5)
+    pivot_cam = np.linalg.inv(cam.pose()) @ np.array([0.2, -0.1, 1.5, 1.0])
+    np.testing.assert_allclose(pivot_cam[:3], [0, 0, 1.0], atol=1e-6)
+    # orbit keeps the pivot centred too
+    cam.rotate(0.7, 0.3)
+    pivot_cam = np.linalg.inv(cam.pose()) @ np.array([0.2, -0.1, 1.5, 1.0])
+    np.testing.assert_allclose(pivot_cam[:3], [0, 0, 1.0], atol=1e-6)
+    # from_pose seeds the orbit on the live camera: same eye, pivot ahead
+    live = np.eye(4, dtype=np.float32)
+    live[:3, 3] = (0.3, 0.1, -0.2)
+    seeded = OrbitCamera.from_pose(live, lookahead=2.0)
+    np.testing.assert_allclose(seeded.pose(), live, atol=1e-6)
+
+
+def test_live_viewer_orbit_and_fxaa_keys(tmp_path, monkeypatch):
+    """'m' detaches the map panel onto the orbit camera (free 3D
+    inspection), 'x' toggles FXAA (GUI.h:238), 'r' re-seeds on the live
+    camera — all through the offscreen compose path."""
+    from maskfusion_tpu.camera import Resolution
+    from maskfusion_tpu.config import Config
+    from maskfusion_tpu.engine import MaskFusion
+    from maskfusion_tpu.frame import FrameData
+    from maskfusion_tpu.gui import LiveViewer
+
+    cfg = Config(global_surfel_capacity=1 << 16, static_mode=True,
+                 use_so3=False)
+    eng = MaskFusion(Resolution(syn.W, syn.H), syn.DEFAULT_INTR, cfg)
+    pts, cols = syn.make_scene()
+    rgb, depth = syn.render(pts, cols, np.eye(4), syn.DEFAULT_INTR)
+    eng.process_frame(FrameData(rgb=rgb, depth=depth))
+    eng.process_frame(FrameData(rgb=rgb, depth=depth))
+
+    v = LiveViewer(eng, offscreen=True)
+    assert v.update()
+    follow = v.last_canvas.copy()
+
+    assert v._handle_key(ord("m"))        # enter orbit mode
+    assert v.free_orbit and v.orbit is not None
+    # seeded on the live camera -> identical view before any mouse input
+    v.orbit.rotate(0.6, 0.25)
+    v.orbit.dolly(1.6)
+    assert v.update()
+    orbited = v.last_canvas
+    # moving the inspection camera changes the map panel (top-right),
+    # not the predicted-RGB panel (top-left)
+    Hh = syn.H
+    assert (orbited[24:24 + Hh, syn.W:] != follow[24:24 + Hh, syn.W:]).mean() > 0.05
+    np.testing.assert_array_equal(orbited[24:24 + Hh, :syn.W],
+                                  follow[24:24 + Hh, :syn.W])
+
+    assert v._handle_key(ord("x"))        # FXAA on
+    assert v.fxaa
+    assert v.update()
+    assert v.last_canvas.shape == follow.shape
+
+    assert v._handle_key(ord("x"))        # FXAA back off
+    assert v._handle_key(ord("r"))        # re-seed orbit on live camera
+    assert v._handle_key(ord("m"))        # back to follow mode
+    assert not v.free_orbit
+    assert v.update()
+    np.testing.assert_array_equal(v.last_canvas[24:, syn.W:],
+                                  follow[24:, syn.W:])
