@@ -90,6 +90,9 @@ class LiveViewer:
         top = np.concatenate([rgb, view["rgb"]], axis=1)
         bottom = np.concatenate([depth_vis, labels], axis=1)
         canvas = np.concatenate([top, bottom], axis=0)
+        strip = self._model_strip(W, H)
+        if strip is not None:
+            canvas = np.concatenate([canvas, strip], axis=0)
         hud = (f"tick {diag.get('tick', self.engine.tick)}  "
                f"{self._fps:5.1f} FPS  models {diag.get('n_models', 1)}  "
                f"surfels {diag.get('surfels', 0)}  "
@@ -105,6 +108,31 @@ class LiveViewer:
                 canvas, (int(canvas.shape[1] * self.scale),
                          int(canvas.shape[0] * self.scale)))
         return canvas
+
+    def _model_strip(self, W: int, H: int) -> Optional[np.ndarray]:
+        """Per-model viewport row, shown when object models exist: each
+        live model's own predicted-RGB texture (the reference fills the
+        P1..P4 / ICP1..ICP4 panels with up to four per-model textures and
+        blanks the rest, GUI/MainController.cpp:909-921, GUI.h:138-153)."""
+        if len(self.engine.models) < 2:
+            return None
+        import cv2
+
+        tw, th = W // 2, H // 2
+        thumbs = []
+        for m in self.engine.models[:4]:
+            t = np.clip(np.asarray(m.state.pred_rgb), 0, 255).astype(np.uint8)
+            t = cv2.resize(t, (tw, th))
+            cv2.putText(t, f"model {m.model_id}", (4, 14),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.4, (255, 255, 255), 1,
+                        cv2.LINE_AA)
+            thumbs.append(t)
+        while len(thumbs) < 4:                    # displayEmpty parity
+            thumbs.append(np.zeros((th, tw, 3), np.uint8))
+        strip = np.concatenate(thumbs, axis=1)
+        if strip.shape[1] != 2 * W:               # odd-width rounding
+            strip = cv2.resize(strip, (2 * W, th))
+        return strip
 
     @staticmethod
     def _draw_hud(canvas: np.ndarray, text: str) -> np.ndarray:

@@ -227,3 +227,44 @@ def test_live_viewer_orbit_and_fxaa_keys(tmp_path, monkeypatch):
     assert v.update()
     np.testing.assert_array_equal(v.last_canvas[24:, syn.W:],
                                   follow[24:, syn.W:])
+
+
+def test_live_viewer_model_strip(tmp_path):
+    """With object models live, the viewer appends a per-model viewport row
+    (the reference fills up to four P1..P4 panels with per-model textures
+    and blanks the rest, GUI/MainController.cpp:909-921)."""
+    from maskfusion_tpu.camera import Resolution
+    from maskfusion_tpu.config import Config
+    from maskfusion_tpu.engine import MaskFusion
+    from maskfusion_tpu.frame import FrameData
+    from maskfusion_tpu.gui import LiveViewer
+
+    cfg = Config(global_surfel_capacity=1 << 16, static_mode=True,
+                 use_so3=False)
+    eng = MaskFusion(Resolution(syn.W, syn.H), syn.DEFAULT_INTR, cfg)
+    pts, cols = syn.make_scene()
+    rgb, depth = syn.render(pts, cols, np.eye(4), syn.DEFAULT_INTR)
+    eng.process_frame(FrameData(rgb=rgb, depth=depth))
+
+    v = LiveViewer(eng, offscreen=True)
+    assert v.update()
+    base_h = v.last_canvas.shape[0]
+
+    # global-only -> no strip
+    assert v._model_strip(syn.W, syn.H) is None
+
+    # a second live model switches the strip on (state shape is all the
+    # strip reads, so the global model doubles as a stand-in object model)
+    eng.models.append(eng.models[0])
+    try:
+        strip = v._model_strip(syn.W, syn.H)
+        assert strip is not None
+        assert strip.shape == (syn.H // 2, 2 * syn.W, 3)
+        # 2 live thumbs + 2 displayEmpty blanks
+        blank = strip[:, syn.W:]
+        assert (blank == 0).all()
+        assert (strip[:, :syn.W] != 0).any()
+        assert v.update()
+        assert v.last_canvas.shape[0] == base_h + syn.H // 2
+    finally:
+        eng.models.pop()
