@@ -159,8 +159,9 @@ def bench_two_objects():
     from maskfusion_tpu.engine import MaskFusion
 
     W, H = 640, 480
-    n_warm, n_timed = 14, 24
-    frames, (fx, fy, cx, cy) = make_two_object_frames(W, H, n_warm + n_timed)
+    n_warm, n_timed, n_reps = 14, 12, 3
+    frames, (fx, fy, cx, cy) = make_two_object_frames(
+        W, H, n_warm + n_timed * n_reps)
     cfg = Config(global_surfel_capacity=1 << 22,
                  object_surfel_capacity=1 << 19,
                  seg_method="maskfusion",
@@ -188,25 +189,40 @@ def bench_two_objects():
             engine.drain_pipeline()
     engine.drain_pipeline()
     n_models = len(engine.models)
+    # AOT-compile the next bucket growth rungs OUT of the timed windows: at
+    # VGA the global map crosses its 262144->524288 pow2 rung mid-run, and
+    # on a cold persistent cache that compile (90-230 s remote) lands inside
+    # the measurement — the round-5 cold-cache run recorded 0.07 FPS for a
+    # steady state of ~8.5 because of exactly two such compiles
+    n_pre = engine.prewarm_next_buckets(rungs=2)
+    print(f"prewarmed {n_pre} growth-rung graph variants", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    staged = engine.upload_frame(frames[n_warm])
-    for nxt in frames[n_warm + 1:]:
-        nxt_staged = engine.upload_frame(nxt)
-        engine.process_frame(staged)
-        staged = nxt_staged
-    engine.process_frame(staged)
-    engine.drain_pipeline()
     import jax
-    jax.block_until_ready(engine.models[0].state.pose)
-    total = time.perf_counter() - t0
-    fps = n_timed / total
+    fps_reps = []
+    base = n_warm
+    for rep in range(3):
+        window = frames[base + rep * n_timed: base + (rep + 1) * n_timed]
+        t0 = time.perf_counter()
+        staged = engine.upload_frame(window[0])
+        for nxt in window[1:]:
+            nxt_staged = engine.upload_frame(nxt)
+            engine.process_frame(staged)
+            staged = nxt_staged
+        engine.process_frame(staged)
+        engine.drain_pipeline()
+        jax.block_until_ready(engine.models[0].state.pose)
+        total = time.perf_counter() - t0
+        fps_reps.append(n_timed / total)
+    # median of 3 windows: robust to one window absorbing a residual
+    # compile or a transport stall (the static bench medians the same way)
+    fps = sorted(fps_reps)[len(fps_reps) // 2]
     print(json.dumps({
         "metric": "slam_fps_640x480_two_objects",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 4),
         "n_models": n_models,
+        "reps": [round(f, 3) for f in fps_reps],
     }))
 
 
@@ -318,6 +334,12 @@ def main():
     for f in frames[:n_warm]:
         engine.process_frame(f)
     engine.flush_diagnostics()
+    # compile the quarter-octave growth rungs the timed windows will cross
+    # (327680, 409600 at VGA) BEFORE the clock starts — on a cold persistent
+    # cache these are the same compiles the run would absorb mid-window, so
+    # this moves them out of the measurement at ~zero net cold-start cost
+    n_pre = engine.prewarm_next_buckets(rungs=2)
+    print(f"prewarmed {n_pre} growth-rung graph variants", file=sys.stderr)
 
     # honest pipelined throughput: frames are enqueued without per-frame
     # host syncs; the clock stops only after the LAST frame's diagnostics

@@ -158,6 +158,9 @@ class MaskFusion:
         self.next_id = 1
         self.spawn_offset = self.cfg.model_spawn_offset
         self.last_segmentation: Optional[np.ndarray] = None
+        # last-dispatch arg shapes of the bucket-keyed frame graphs, for
+        # prewarm_next_buckets (AOT-compile growth rungs out of live windows)
+        self._prewarm_ex: dict = {}
         self.stopwatch = Stopwatch()
         self.lost = False
         self._last_count = 0
@@ -1196,11 +1199,16 @@ class MaskFusion:
                                       glob.state.map.capacity,
                                       current=glob.last_bucket)
             glob.last_bucket = bucket
+            statics = dict(bucket=bucket,
+                           parity=(self.tick % 2
+                                   if cfg.fuse_subsample_checkerboard
+                                   else None),
+                           compact=(self.tick % self.DIAG_INTERVAL == 0))
+            self._note_prewarm("static_step", self._fused_static_step,
+                               (glob.state, rgb, depth, float(self.tick)),
+                               statics)
             glob.state, d, pose_out = self._fused_static_step(
-                glob.state, rgb, depth, float(self.tick), bucket=bucket,
-                parity=(self.tick % 2
-                        if cfg.fuse_subsample_checkerboard else None),
-                compact=(self.tick % self.DIAG_INTERVAL == 0))
+                glob.state, rgb, depth, float(self.tick), **statics)
             # pose log keeps the step's own device-side pose output (the
             # state is donated into the next step; export converts lazily)
             # — a host-issued pose.copy() would cost one extra dispatch
@@ -1738,8 +1746,9 @@ class MaskFusion:
             glob = fuse_models[0]
             obj_bucket = max((self._bucket_for(m) for m in objs),
                              default=self._tuning.min_bucket_object)
-            windowed = bool(objs or cfg.min_object_slots) and all(
-                m.window is not None for m in objs)
+            windowed = (bool(self._obj_window)
+                        and bool(objs or cfg.min_object_slots)
+                        and all(m.window is not None for m in objs))
             # ONE (n_models,4,4) upload: prev_pose is host numpy in steady
             # state (unpacked from the device stage's hostvec); a freshly
             # spawned model briefly carries a device-array pose — stack
@@ -1764,12 +1773,15 @@ class MaskFusion:
             obj_params = jnp.asarray(np.asarray(
                 param_rows, np.float32).reshape(n_slots, 6))
             obj_states = self._padded_obj_states(objs, n_slots)
+            lf_args = (glob.state, obj_states, prep, rgb,
+                       seg_mask, prev_poses, float(tick), obj_params)
+            lf_statics = dict(glob_bucket=self._bucket_for(glob),
+                              obj_bucket=obj_bucket,
+                              parity=parity, windowed=windowed)
+            self._note_prewarm("fuse_stage_lag", self._pipelined_fuse_stage,
+                               lf_args, lf_statics)
             new_glob, new_objs = self._pipelined_fuse_stage(
-                glob.state, obj_states, prep, rgb,
-                seg_mask, prev_poses, float(tick), obj_params,
-                glob_bucket=self._bucket_for(glob), obj_bucket=obj_bucket,
-                parity=parity, windowed=windowed,
-            )
+                *lf_args, **lf_statics)
             glob.state = new_glob
             for m, s in zip(objs, new_objs):
                 m.state = s
@@ -1846,9 +1858,19 @@ class MaskFusion:
         obj_params = jnp.asarray(np.asarray(
             param_rows, np.float32).reshape(n_slots, 6))
         obj_states = self._padded_obj_states(objs, n_slots)
+        fs_args = (glob.state, obj_states, prep, rgb,
+                   seg_dev, prev_poses_dev, float(tick), obj_params)
+        fs_statics = dict(glob_bucket=glob_bucket, obj_bucket=obj_bucket,
+                          parity=parity, windowed=windowed)
+        # gate/ids_guard are TRACED args recorded by keyword (they sit after
+        # the static params in the signature, so positional capture would
+        # misbind them onto glob_bucket/obj_bucket at lower() time)
+        self._note_prewarm("fuse_stage", self._pipelined_fuse_stage,
+                           fs_args,
+                           {**fs_statics, "gate": gate,
+                            "ids_guard": ids_guard})
         new_glob, new_objs = self._pipelined_fuse_stage(
-            glob.state, obj_states, prep, rgb,
-            seg_dev, prev_poses_dev, float(tick), obj_params,
+            *fs_args,
             glob_bucket=glob_bucket, obj_bucket=obj_bucket,
             parity=parity, windowed=windowed, gate=gate,
             ids_guard=ids_guard)
@@ -2031,7 +2053,7 @@ class MaskFusion:
             # the compiled graphs (dead slots carry DEAD_SLOT_ID and an
             # empty map; their lanes are select-sanitised device-side)
             n_slots = _slot_class(len(objs), cfg.min_object_slots)
-            windowed = bool(n_slots) and all(
+            windowed = bool(n_slots and self._obj_window) and all(
                 m.window is not None for m in objs)
             aux_rows = ([[m.model_id, (m.window or (0, 0))[0],
                           (m.window or (0, 0))[1]] for m in objs]
@@ -2041,13 +2063,17 @@ class MaskFusion:
             ids_vec = ([m.model_id for m in self.models]
                        + [0] * (n_slots - len(objs)))
             with self.stopwatch.scope("odom"):
+                ds_args = (glob.state, self._padded_obj_states(objs, n_slots),
+                           obj_aux, jnp.asarray(ids_vec, jnp.float32),
+                           rgb, depth, prev_seg, float(self.tick))
+                ds_statics = dict(glob_bucket=glob_bucket,
+                                  obj_bucket=obj_bucket, windowed=windowed)
+                self._note_prewarm("device_stage",
+                                   self._pipelined_device_stage,
+                                   ds_args, ds_statics)
                 (prep, gpose, oposes, hostvec, ids_dev, nonedge_dev,
                  prev_poses_dev, okf) = self._pipelined_device_stage(
-                    glob.state, self._padded_obj_states(objs, n_slots),
-                    obj_aux, jnp.asarray(ids_vec, jnp.float32),
-                    rgb, depth, prev_seg, float(self.tick),
-                    glob_bucket=glob_bucket, obj_bucket=obj_bucket,
-                    windowed=windowed)
+                    *ds_args, **ds_statics)
             glob.state = glob.state._replace(pose=gpose)
             for m, p in zip(objs, oposes):
                 m.state = m.state._replace(pose=p)
@@ -2208,6 +2234,97 @@ class MaskFusion:
         pending = getattr(self, "_pending", None)
         while pending:
             self._finish_one(pending.popleft())
+
+    def _note_prewarm(self, name: str, jfn, args: tuple, statics: dict):
+        """Record a bucket-keyed dispatch's arg SHAPES (ShapeDtypeStructs,
+        no buffers retained) so prewarm_next_buckets can AOT-compile the
+        same graph at future bucket rungs."""
+        def sds(x):
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype)
+            return x
+
+        self._prewarm_ex[name] = (
+            jfn, jax.tree_util.tree_map(sds, args),
+            {k: jax.tree_util.tree_map(sds, v) for k, v in statics.items()})
+
+    def prewarm_next_buckets(self, rungs: int = 1, quiet: bool = True,
+                             _lower_only: bool = False) -> int:
+        """AOT-compile the bucket-keyed frame graphs at the next `rungs`
+        bucket step(s) above the last dispatch.
+
+        A growing map crossing a bucket rung mid-stream recompiles the
+        whole fused frame graph — 90-230 s per variant over the remote
+        transport (CLAUDE.md round-4 finding), which lands as a multi-
+        second stall in a live window or poisons a timed bench.  This
+        compiles those variants ahead of time from the recorded dispatch
+        shapes via ``jit.lower(...).compile()`` — nothing executes, no
+        engine state changes, and the persistent compile cache keeps the
+        executables across processes.  Bucket-capacity arg shapes do not
+        change with the bucket (the graphs take the full-capacity map and
+        slice ``prefix_view(map, bucket)`` internally), so only the static
+        bucket/parity/compact arguments vary.
+
+        The reference never recompiles at run time (fixed-size CUDA/GL
+        buffers, Core/CMakeLists.txt:27 capacities); this is the XLA-world
+        equivalent of that guarantee for the steady state.  Returns the
+        number of graph variants compiled (persistent-cache hits included).
+        """
+        cfg = self.cfg
+        if not self.models:
+            return 0
+        glob_cap = self.models[0].state.map.capacity
+        obj_cap = next((m.state.map.capacity for m in self.models[1:]),
+                       cfg.object_surfel_capacity)
+        parities = ((0, 1) if cfg.fuse_subsample_checkerboard else (None,))
+
+        def rung_seq(b, cap, pow2):
+            out, cur = [], int(b)
+            for _ in range(rungs):
+                nxt = min(cur + (cur if pow2 else cur >> 2), cap)
+                if nxt == cur:
+                    break
+                out.append(nxt)
+                cur = nxt
+            return out
+
+        n = 0
+        for name, (jfn, args, kw) in list(self._prewarm_ex.items()):
+            variants = []
+            if name == "static_step":
+                # quarter-octave global rungs x both checkerboard parities
+                # x both compaction variants (the DIAG_INTERVAL frame)
+                for b in rung_seq(kw["bucket"], glob_cap, False):
+                    for p in parities:
+                        for c in (False, True):
+                            variants.append({**kw, "bucket": b,
+                                             "parity": p, "compact": c})
+            else:
+                # multi-object path: pow2 rungs on both axes (engine
+                # _bucket_for uses pow2 steps for every model here)
+                gb, ob = kw["glob_bucket"], kw["obj_bucket"]
+                for g in [gb] + rung_seq(gb, glob_cap, True):
+                    for o in [ob] + rung_seq(ob, obj_cap, True):
+                        if g == gb and o == ob:
+                            continue
+                        if "parity" in kw:
+                            for p in parities:
+                                variants.append({**kw, "glob_bucket": g,
+                                                 "obj_bucket": o,
+                                                 "parity": p})
+                        else:
+                            variants.append({**kw, "glob_bucket": g,
+                                             "obj_bucket": o})
+            for v in variants:
+                try:
+                    lowered = jfn.lower(*args, **v)
+                    if not _lower_only:         # tests validate arg binding
+                        lowered.compile()       # via lowering alone (cheap)
+                    n += 1
+                except Exception as e:          # pragma: no cover - defensive
+                    if not quiet:
+                        print(f"prewarm {name} {v}: {e!r}")
+        return n
 
     # class-level fallback; overridden per instance from the DeviceTuning
     # registry (utils/tuning.py) at construction

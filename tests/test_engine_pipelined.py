@@ -140,3 +140,50 @@ def test_windowed_objects_match_full_frame():
         assert abs(mw.surfel_count - mf.surfel_count) <= \
             max(4, int(0.02 * mf.surfel_count)), (
             mw.model_id, mw.surfel_count, mf.surfel_count)
+
+
+def test_padded_slots_with_windowing_disabled():
+    """min_object_slots with the object window OFF (object_window=0, or the
+    default 320 window at a resolution smaller than the window): the padded
+    graphs must run full-frame object passes, not dynamic-slice a zero-size
+    window (regression: the 320x240 two-object bench repro crashed with
+    'Cannot apply edge padding to empty axis' in track_objects_win because
+    `windowed` ignored self._obj_window when min_object_slots forced the
+    slot class nonzero before any object existed)."""
+    eng = run(True, n_frames=6, min_object_slots=2)
+    assert len(eng.models) >= 2
+    est = np.asarray(eng.models[1].pose_log[-1]["pose"][:3, 3])
+    assert est[0] > 0.005
+
+
+def test_prewarm_next_buckets_pipelined():
+    """The pipelined device/fuse graphs prewarm their pow2 growth rungs on
+    BOTH bucket axes (global x object), including the prefused fuse stage's
+    keyword-recorded gate/ids_guard traced args — a positional capture
+    would misbind those onto the static bucket parameters at lower() time."""
+    cfg = Config(
+        global_surfel_capacity=1 << 19,
+        object_surfel_capacity=1 << 13,
+        seg_method="maskfusion",
+        use_so3=False,
+        model_spawn_offset=0,
+        pipelined_multiobject=True,
+        fuse_mask_lag=True,
+        min_object_slots=2,
+    )
+    eng = MaskFusion(Resolution(syn.W, syn.H), syn.DEFAULT_INTR, cfg)
+    for i in range(4):
+        pts, cols, labels = syn.make_scene_with_object()
+        rgb, depth, lab = syn.render(pts, cols, np.eye(4, dtype=np.float32),
+                                     syn.DEFAULT_INTR, labels=labels)
+        eng.process_frame(FrameData(rgb=rgb, depth=depth, mask=lab,
+                                    class_ids=[0, 7], timestamp=float(i)))
+    eng.drain_pipeline()
+    assert "device_stage" in eng._prewarm_ex
+    assert "fuse_stage" in eng._prewarm_ex
+    # object capacity (1<<13) sits at the bucket floor -> no object rungs;
+    # the global axis has one pow2 rung.  device_stage: 1 variant;
+    # fuse_stage (+_lag if recorded): 1 rung x 2 parities each.
+    n = eng.prewarm_next_buckets(_lower_only=True)
+    expected = 1 + 2 * sum(1 for k in eng._prewarm_ex if "fuse" in k)
+    assert n == expected, (n, expected, list(eng._prewarm_ex))

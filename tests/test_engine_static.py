@@ -76,3 +76,25 @@ def test_ground_truth_injection():
         rgb, depth = syn.render(pts, cols, pose, syn.DEFAULT_INTR)
         engine.process_frame(FrameData(rgb=rgb, depth=depth), gt_pose=pose)
         np.testing.assert_allclose(engine.current_pose, pose, atol=1e-6)
+
+
+def test_prewarm_next_buckets_static():
+    """prewarm_next_buckets AOT-lowers the fused static step at the next
+    quarter-octave bucket rung(s) so a growing map never absorbs a graph
+    compile mid-stream (the XLA analogue of the reference's fixed-capacity
+    no-runtime-compile guarantee, Core/CMakeLists.txt:27).  Capacity must
+    exceed the device-tuning bucket floor for a rung to exist."""
+    cfg = Config(global_surfel_capacity=1 << 19, static_mode=True,
+                 use_so3=False)
+    eng = MaskFusion(Resolution(syn.W, syn.H), syn.DEFAULT_INTR, cfg)
+    pts, cols = syn.make_scene()
+    rgb, depth = syn.render(pts, cols, np.eye(4, dtype=np.float32),
+                            syn.DEFAULT_INTR)
+    eng.process_frame(FrameData(rgb=rgb, depth=depth))
+    eng.process_frame(FrameData(rgb=rgb, depth=depth))  # frame 1 = init only
+    assert "static_step" in eng._prewarm_ex
+    # 1 rung x 2 checkerboard parities x {compact, kill-in-place} = 4
+    assert eng.prewarm_next_buckets(_lower_only=True) == 4
+    # at the bucket ceiling there is no next rung -> nothing to compile
+    eng._prewarm_ex["static_step"][2]["bucket"] = 1 << 19
+    assert eng.prewarm_next_buckets(_lower_only=True) == 0
