@@ -194,7 +194,8 @@ def bench_two_objects():
     # on a cold persistent cache that compile (90-230 s remote) lands inside
     # the measurement — the round-5 cold-cache run recorded 0.07 FPS for a
     # steady state of ~8.5 because of exactly two such compiles
-    n_pre = engine.prewarm_next_buckets(rungs=2)
+    n_pre = engine.prewarm_next_buckets(
+        rungs=2, budget_s=max(60.0, _BUDGET_S - _elapsed() - 300.0))
     print(f"prewarmed {n_pre} growth-rung graph variants", file=sys.stderr)
 
     import jax
@@ -338,7 +339,8 @@ def main():
     # (327680, 409600 at VGA) BEFORE the clock starts — on a cold persistent
     # cache these are the same compiles the run would absorb mid-window, so
     # this moves them out of the measurement at ~zero net cold-start cost
-    n_pre = engine.prewarm_next_buckets(rungs=2)
+    n_pre = engine.prewarm_next_buckets(
+        rungs=2, budget_s=max(60.0, _BUDGET_S * 0.5 - _elapsed()))
     print(f"prewarmed {n_pre} growth-rung graph variants", file=sys.stderr)
 
     # honest pipelined throughput: frames are enqueued without per-frame

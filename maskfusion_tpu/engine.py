@@ -2249,6 +2249,7 @@ class MaskFusion:
             {k: jax.tree_util.tree_map(sds, v) for k, v in statics.items()})
 
     def prewarm_next_buckets(self, rungs: int = 1, quiet: bool = True,
+                             budget_s: "float | None" = None,
                              _lower_only: bool = False) -> int:
         """AOT-compile the bucket-keyed frame graphs at the next `rungs`
         bucket step(s) above the last dispatch.
@@ -2267,12 +2268,18 @@ class MaskFusion:
 
         The reference never recompiles at run time (fixed-size CUDA/GL
         buffers, Core/CMakeLists.txt:27 capacities); this is the XLA-world
-        equivalent of that guarantee for the steady state.  Returns the
-        number of graph variants compiled (persistent-cache hits included).
+        equivalent of that guarantee for the steady state.  `budget_s`
+        bounds the wall-clock spent (variants are ordered most-likely-
+        needed first, so a cold cache spends the budget on the rungs
+        growth actually reaches; a warm cache completes in seconds).
+        Returns the number of graph variants compiled (persistent-cache
+        hits included).
         """
         cfg = self.cfg
         if not self.models:
             return 0
+        t_end = (None if budget_s is None
+                 else _time.perf_counter() + max(0.0, budget_s))
         glob_cap = self.models[0].state.map.capacity
         obj_cap = next((m.state.map.capacity for m in self.models[1:]),
                        cfg.object_surfel_capacity)
@@ -2288,42 +2295,59 @@ class MaskFusion:
                 cur = nxt
             return out
 
-        n = 0
-        for name, (jfn, args, kw) in list(self._prewarm_ex.items()):
-            variants = []
+        # Flat work list ORDERED most-likely-needed first, so a wall-clock
+        # budget (cold caches: each variant is a full remote compile) spends
+        # itself on the rungs growth actually reaches: for each rung step,
+        # single-axis variants of every captured graph come before any
+        # cross-axis (both-buckets-grew-simultaneously) combination.
+        work = []       # (priority, name, jfn, args, statics)
+        for name, (jfn, args, kw) in self._prewarm_ex.items():
             if name == "static_step":
                 # quarter-octave global rungs x both checkerboard parities
                 # x both compaction variants (the DIAG_INTERVAL frame)
-                for b in rung_seq(kw["bucket"], glob_cap, False):
+                for i, b in enumerate(rung_seq(kw["bucket"], glob_cap,
+                                               False)):
                     for p in parities:
                         for c in (False, True):
-                            variants.append({**kw, "bucket": b,
-                                             "parity": p, "compact": c})
+                            work.append((i, name, jfn, args,
+                                         {**kw, "bucket": b, "parity": p,
+                                          "compact": c}))
             else:
                 # multi-object path: pow2 rungs on both axes (engine
                 # _bucket_for uses pow2 steps for every model here)
                 gb, ob = kw["glob_bucket"], kw["obj_bucket"]
-                for g in [gb] + rung_seq(gb, glob_cap, True):
-                    for o in [ob] + rung_seq(ob, obj_cap, True):
-                        if g == gb and o == ob:
-                            continue
-                        if "parity" in kw:
-                            for p in parities:
-                                variants.append({**kw, "glob_bucket": g,
-                                                 "obj_bucket": o,
-                                                 "parity": p})
-                        else:
-                            variants.append({**kw, "glob_bucket": g,
-                                             "obj_bucket": o})
-            for v in variants:
-                try:
-                    lowered = jfn.lower(*args, **v)
-                    if not _lower_only:         # tests validate arg binding
-                        lowered.compile()       # via lowering alone (cheap)
-                    n += 1
-                except Exception as e:          # pragma: no cover - defensive
-                    if not quiet:
-                        print(f"prewarm {name} {v}: {e!r}")
+                grungs = rung_seq(gb, glob_cap, True)
+                orungs = rung_seq(ob, obj_cap, True)
+                combos = (
+                    [(i, g, ob) for i, g in enumerate(grungs)]
+                    + [(i, gb, o) for i, o in enumerate(orungs)]
+                    + [(rungs + i + j, g, o)
+                       for i, g in enumerate(grungs)
+                       for j, o in enumerate(orungs)])
+                for pri, g, o in combos:
+                    base = {**kw, "glob_bucket": g, "obj_bucket": o}
+                    if "parity" in kw:
+                        for p in parities:
+                            work.append((pri, name, jfn, args,
+                                         {**base, "parity": p}))
+                    else:
+                        work.append((pri, name, jfn, args, base))
+        work.sort(key=lambda w: w[0])
+
+        n = 0
+        for _pri, name, jfn, args, v in work:
+            if t_end is not None and _time.perf_counter() > t_end:
+                if not quiet:
+                    print(f"prewarm budget exhausted after {n} variants")
+                break
+            try:
+                lowered = jfn.lower(*args, **v)
+                if not _lower_only:             # tests validate arg binding
+                    lowered.compile()           # via lowering alone (cheap)
+                n += 1
+            except Exception as e:              # pragma: no cover - defensive
+                if not quiet:
+                    print(f"prewarm {name} {v}: {e!r}")
         return n
 
     # class-level fallback; overridden per instance from the DeviceTuning
