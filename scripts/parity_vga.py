@@ -65,7 +65,40 @@ def main():
     if not args.static:
         res["iou"] = segmentation_iou(out, os.path.join(seq, "gt_masks"),
                                       est_offset=-1)
+        res["object"] = object_displacement(out, seq)
     print(json.dumps(res, indent=2))
+
+
+def object_displacement(out, seq):
+    """Object-trajectory displacement error vs the generator's ground
+    truth: est/gt positions are re-based to their first common frame (the
+    object model's frame origin is arbitrary), then RMSE/final/max over
+    the LONGEST surviving object log (jump-deactivation can respawn)."""
+    import numpy as np
+
+    obj_paths = [p for p in os.listdir(out)
+                 if p.startswith("poses-") and p != "poses-0.txt"]
+    if not obj_paths:
+        return None
+    est = max((np.loadtxt(os.path.join(out, p)).reshape(-1, 8)
+               for p in obj_paths), key=len)
+    gt = np.loadtxt(os.path.join(seq, "object_groundtruth.txt"))
+    gt_by_ts = {round(r[0], 3): r[1:4] for r in gt}
+    pairs = [(r[1:4], gt_by_ts[round(r[0], 3)]) for r in est
+             if round(r[0], 3) in gt_by_ts]
+    if len(pairs) < 2:
+        return None
+    e = np.array([p[0] for p in pairs])
+    g = np.array([p[1] for p in pairs])
+    err = np.linalg.norm((e - e[0]) - (g - g[0]), axis=1)
+    return {
+        "rmse_m": float(np.sqrt((err ** 2).mean())),
+        "final_m": float(err[-1]),
+        "max_m": float(err.max()),
+        "gt_path_m": float(np.sum(np.linalg.norm(
+            np.diff(g - g[0], axis=0), axis=1))),
+        "frames": len(pairs),
+    }
 
 
 if __name__ == "__main__":
