@@ -50,4 +50,8 @@ if __name__ == "__main__":
         run("bisect_track", [py, "scripts/tpu_bisect_track.py"], 2400)
     if "probe" in only:
         run("bisect_step", [py, "scripts/tpu_bisect_step.py"], 1800)
+        # channel-first predict tap-scan (parked experiment): measure the
+        # TPU benefit that was never captured before deciding whether the
+        # 3.8 mm pipelined-vs-sync divergence is worth localising
+        run("probe_predict2", [py, "scripts/tpu_probe_predict2.py"], 1800)
     print("session r5b complete; log at", LOG, flush=True)
