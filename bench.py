@@ -115,6 +115,42 @@ def make_frames(width, height, n):
     return frames
 
 
+def _prewarm_boxed(engine, rungs, budget_s):
+    """prewarm_next_buckets in a killable daemon thread: a wedged remote
+    compile service hangs a single .compile() RPC indefinitely (observed
+    2026-08-20 ~10:25 — threads futex-parked for 40+ min), and the budget
+    check inside prewarm only runs BETWEEN variants.  If the thread misses
+    its join deadline the bench proceeds to measure with warm-cache graphs
+    only (compilation is compiler-server work, not device work, so a
+    still-pending RPC cannot contend the measurement).  MFT_BENCH_PREWARM=0
+    skips entirely."""
+    if os.environ.get("MFT_BENCH_PREWARM", "1") == "0":
+        return None
+    import threading
+    out = {}
+
+    def go():
+        try:
+            out["n"] = engine.prewarm_next_buckets(rungs=rungs,
+                                                   budget_s=budget_s)
+        except Exception as e:                  # pragma: no cover
+            out["err"] = repr(e)
+
+    th = threading.Thread(target=go, daemon=True, name="mft-prewarm")
+    th.start()
+    th.join(budget_s + min(30.0, budget_s))
+    if th.is_alive():
+        print("prewarm wedged (remote compile hang) — measuring with "
+              "warm-cache graphs only", file=sys.stderr)
+        return None
+    if "err" in out:
+        print(f"prewarm failed: {out['err']}", file=sys.stderr)
+        return None
+    print(f"prewarmed {out.get('n', 0)} growth-rung graph variants",
+          file=sys.stderr)
+    return out.get("n")
+
+
 def make_two_object_frames(width, height, n):
     """Co-Fusion-style synthetic multi-object scene: textured wavy
     background + TWO independently moving textured patches, rendered with
@@ -194,9 +230,8 @@ def bench_two_objects():
     # on a cold persistent cache that compile (90-230 s remote) lands inside
     # the measurement — the round-5 cold-cache run recorded 0.07 FPS for a
     # steady state of ~8.5 because of exactly two such compiles
-    n_pre = engine.prewarm_next_buckets(
-        rungs=2, budget_s=max(60.0, _BUDGET_S - _elapsed() - 300.0))
-    print(f"prewarmed {n_pre} growth-rung graph variants", file=sys.stderr)
+    _prewarm_boxed(engine, rungs=2,
+                   budget_s=max(60.0, _BUDGET_S - _elapsed() - 300.0))
 
     import jax
     fps_reps = []
@@ -339,9 +374,8 @@ def main():
     # (327680, 409600 at VGA) BEFORE the clock starts — on a cold persistent
     # cache these are the same compiles the run would absorb mid-window, so
     # this moves them out of the measurement at ~zero net cold-start cost
-    n_pre = engine.prewarm_next_buckets(
-        rungs=2, budget_s=max(60.0, _BUDGET_S * 0.5 - _elapsed()))
-    print(f"prewarmed {n_pre} growth-rung graph variants", file=sys.stderr)
+    _prewarm_boxed(engine, rungs=2,
+                   budget_s=max(60.0, _BUDGET_S * 0.5 - _elapsed()))
 
     # honest pipelined throughput: frames are enqueued without per-frame
     # host syncs; the clock stops only after the LAST frame's diagnostics

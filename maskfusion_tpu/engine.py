@@ -1462,6 +1462,80 @@ class MaskFusion:
             cap = obj_states[k].map.capacity
             self._dummy_state_cache[(cap, k)] = new_objs[k]
 
+    def _cf_model_views(self, frame: FrameData):
+        """Per-model alignment-error + confidence views for the Co-Fusion
+        CRF (the reference feeds per-model ICP-error/conf textures into its
+        unaries, CfSegmentation.cpp:108-228; without them the projected-id
+        fallback's error ceiling of 0.05*depth_range can never clear the
+        unary_threshold_new=5 bar, so motion spawning is structurally dead).
+
+        error = max(geometric, photometric) residual of the model's last
+        prediction against the live frame, in metres-equivalent units:
+          geometric   |predicted z - frame z| — catches out-of-plane motion;
+          photometric |predicted gray - frame gray| / 255 * k_photo *
+                      depth-scale — catches in-plane motion of textured
+                      objects, which leaves no depth residual on flat
+                      patches (k_photo = 0.5: a ~64-graylevel disagreement
+                      rates like a quarter-depth-range geometric error, the
+                      CRF's spawn bar).
+        conf = prediction coverage (valid predicted depth).  Pixels with no
+        frame depth carry zero error (holes never vote for motion)."""
+        d = frame.host_depth()
+        rgb = np.asarray(frame.rgb, np.float32)
+        gray = rgb.mean(axis=-1)
+        dr = float(np.nanmax(d) - np.nanmin(d[d > 0])) if (d > 0).any() else 1.0
+        dr = max(dr, 1e-3)
+
+        # The prediction is one pose stale (it tracked this frame), so a
+        # moving camera shifts it a few px against the live image — on
+        # high-frequency texture a raw per-pixel |dI| then reads as error
+        # EVERYWHERE and the CRF spawns phantom models (measured: 3 object
+        # models for 1 real object, camera ATE 21 mm vs 3 mm).  8x8
+        # mask-aware average pooling before differencing removes the
+        # misalignment sensitivity while a real object's gross color
+        # disagreement (many-px motion / different hue) survives.
+        B = 8
+        Hc = (gray.shape[0] // B) * B
+        Wc = (gray.shape[1] // B) * B
+
+        def pool(a):
+            return a[:Hc, :Wc].reshape(Hc // B, B, Wc // B, B).mean((1, 3))
+
+        def unpool(a, H, W):
+            u = np.repeat(np.repeat(a, B, 0), B, 1)
+            out = np.zeros((H, W), a.dtype)
+            out[:Hc, :Wc] = u
+            return out
+
+        H, W = gray.shape
+        gray_p = pool(gray)
+        views = []
+        for m in self.models:
+            pz = np.asarray(m.state.pred_vmap[..., 2])
+            pg = np.asarray(m.state.pred_rgb, np.float32).mean(axis=-1)
+            cov = np.isfinite(pz) & (pz > 0)
+            covf = cov.astype(np.float32)
+            both = cov & (d > 0)
+            # disocclusion-trail gate: where the predicted surface is in
+            # FRONT of the frame depth the surface moved AWAY (the frame
+            # sees background behind it) — that is the object's trail, and
+            # its error must not vote or the CRF spawns a phantom model on
+            # the vacated region; clean's free-space violation removes the
+            # stale surfels within a few frames (copy_unstable.vert:87-115)
+            trail = np.nan_to_num(pz) < (d - 0.03)
+            both = both & ~trail
+            geom = np.where(both, np.abs(np.nan_to_num(pz) - d), 0.0)
+            den = pool(covf)
+            pg_p = pool(np.nan_to_num(pg) * covf) / np.maximum(den, 1e-6)
+            dI = np.where(den > 0.5, np.abs(pg_p - gray_p), 0.0)
+            photo = unpool(dI, H, W) / 255.0 * 0.5 * dr
+            photo = np.where(both, photo, 0.0)
+            views.append({
+                "error": np.maximum(geom, photo).astype(np.float32),
+                "conf": covf,
+            })
+        return views
+
     def _window_from_bbox(self, y0, x0, y1, x1):
         OW = self._obj_window
         H, W = self.res.height, self.res.width
@@ -1568,6 +1642,8 @@ class MaskFusion:
         )
         infos = [ModelInfo(m.model_id, m.class_id) for m in self.models]
         kw = {"nonedge": nonedge} if nonedge is not None else {}
+        if getattr(self.segmenter, "wants_model_views", False):
+            kw["model_views"] = self._cf_model_views(frame)
         seg_result = self.segmenter.perform(
             frame, prep.levels[0]["vmap"], prep.levels[0]["nmap"],
             ids, infos, self._get_next_model_id(False), allow_new, **kw,

@@ -56,6 +56,11 @@ def dense_crf_meanfield(
 
 
 class CfSegmentation:
+    # the engine builds per-model alignment-error/conf views for the CRF
+    # unaries (engine._cf_model_views); without them the projected-id
+    # fallback below cannot reach the new-label threshold
+    wants_model_views = True
+
     def __init__(self, config: Config, resolution, intrinsics):
         self.cfg = config
         self.res = resolution
@@ -122,10 +127,29 @@ class CfSegmentation:
             err = np.nan_to_num(err, nan=depth_range)
             conf = np.nan_to_num(conf, nan=0.0)
             if i == 0:
+                # the global model is the DEFAULT owner: unexplored pixels
+                # (no prediction yet) are cheap for it, so fresh territory
+                # maps into the background rather than spawning
                 err = np.where(conf < 0.3, depth_range * 0.01, err)
             else:
-                err = np.where(conf <= 0.4,
-                               depth_range * self.unary_k_error, err)
+                # An object label has evidence only where it predicts.  A
+                # FLAT cheap fallback (0.01*range -> unary 0.4) undercuts
+                # the global model's residual noise and the object label
+                # floods the frame (measured: one spawned model claiming
+                # 86% of the VGA parity image); a flat expensive one
+                # (0.5*range) starves the label of the band its stale
+                # prediction lags behind and object tracking collapses
+                # (measured: IoU 0.24 -> 0.017).  Distance falloff instead
+                # (the reference shapes its unaries with a per-model
+                # falloff, CfSegmentation.cpp:168-222): within ~3
+                # superpixels of the prediction the label may reclaim its
+                # own motion-lag band cheaply; far away it is priced out.
+                on = (conf > 0.4).reshape(gh, gw)
+                from scipy import ndimage
+                near = ndimage.binary_dilation(on, iterations=3).reshape(-1)
+                err = np.where(conf > 0.4, err,
+                               np.where(near, depth_range * 0.05,
+                                        depth_range * 0.5))
             unary[i] = self.unary_weight_error * (err / depth_range)
 
         if allow_new:

@@ -182,3 +182,28 @@ def test_diag_export_artifacts(tmp_path):
     rows = csv_path.read_text().strip().splitlines()
     assert len(rows) >= 3           # header + >=2 frame rows
     assert "ms_Run" in rows[0] and "tracking_ok" in rows[0]
+
+
+def test_bench_prewarm_boxed(monkeypatch):
+    """bench._prewarm_boxed: returns the engine's prewarm count on success,
+    None when the prewarm thread misses its join deadline (the wedged-
+    remote-compile case it exists for), and skips under MFT_BENCH_PREWARM=0."""
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo")
+    import bench
+
+    class FakeEngine:
+        def prewarm_next_buckets(self, rungs, budget_s):
+            return 7
+
+    assert bench._prewarm_boxed(FakeEngine(), rungs=1, budget_s=5.0) == 7
+
+    class HangingEngine:
+        def prewarm_next_buckets(self, rungs, budget_s):
+            import time as _t
+            _t.sleep(3600)
+
+    assert bench._prewarm_boxed(HangingEngine(), rungs=1, budget_s=0.1) is None
+
+    monkeypatch.setenv("MFT_BENCH_PREWARM", "0")
+    assert bench._prewarm_boxed(FakeEngine(), rungs=1, budget_s=5.0) is None
